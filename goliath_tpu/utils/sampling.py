@@ -1,0 +1,116 @@
+"""Differentiable image sampling (torch.nn.functional.grid_sample equivalent).
+
+The reference leans on grid_sample for UV<->vertex transfer, seam resampling,
+envmap rotation, and mipmap lookups. Here it is a pure gather+lerp in jnp:
+XLA lowers the gathers to efficient dynamic-slices and fuses the lerp, which
+is the right formulation for TPU (no scatter in the forward pass; the
+backward becomes a scatter-add that XLA handles).
+
+Convention matches torch: `grid` is [..., 2] with (x, y) in [-1, 1],
+`align_corners` semantics identical.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample(
+    image: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: Literal["bilinear", "nearest"] = "bilinear",
+    padding_mode: Literal["zeros", "border"] = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Sample `image` [B, C, H, W] at `grid` [B, Ho, Wo, 2] -> [B, C, Ho, Wo].
+
+    grid[..., 0] is x (width), grid[..., 1] is y (height), in [-1, 1].
+    """
+    B, C, H, W = image.shape
+    x = _unnormalize(grid[..., 0], W, align_corners)
+    y = _unnormalize(grid[..., 1], H, align_corners)
+
+    if mode == "nearest":
+        # torch rounds half away from zero here; round-to-even diff is < 1ulp
+        # at pixel centers and irrelevant in practice.
+        ix = jnp.round(x).astype(jnp.int32)
+        iy = jnp.round(y).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        ixc = jnp.clip(ix, 0, W - 1)
+        iyc = jnp.clip(iy, 0, H - 1)
+        out = _gather2d(image, iyc, ixc)
+        if padding_mode == "zeros":
+            out = out * valid[:, None].astype(image.dtype)
+        return out
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(image.dtype)
+    wy = (y - y0).astype(image.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    out = jnp.zeros((B, C) + grid.shape[1:-1], dtype=image.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0i + dx
+            yi = y0i + dy
+            w = (wx if dx else (1.0 - wx)) * (wy if dy else (1.0 - wy))
+            if padding_mode == "zeros":
+                valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                w = w * valid.astype(image.dtype)
+            xi = jnp.clip(xi, 0, W - 1)
+            yi = jnp.clip(yi, 0, H - 1)
+            out = out + _gather2d(image, yi, xi) * w[:, None]
+    return out
+
+
+def _gather2d(image: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """image [B, C, H, W], iy/ix [B, ...spatial] -> [B, C, ...spatial]."""
+    B, C, H, W = image.shape
+    flat = image.reshape(B, C, H * W)
+    idx = (iy * W + ix).reshape(B, -1)  # [B, P]
+    g = jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # [B, C, P]
+    return g.reshape((B, C) + iy.shape[1:])
+
+
+def interpolate_bilinear(
+    image: jnp.ndarray, scale_factor: float | None = None,
+    size: tuple[int, int] | None = None, align_corners: bool = False,
+) -> jnp.ndarray:
+    """F.interpolate(mode='bilinear') equivalent for [B, C, H, W]."""
+    B, C, H, W = image.shape
+    if size is None:
+        size = (int(H * scale_factor), int(W * scale_factor))
+    Ho, Wo = size
+    ys = (jnp.arange(Ho, dtype=image.dtype) + 0.5) * (H / Ho) - 0.5
+    xs = (jnp.arange(Wo, dtype=image.dtype) + 0.5) * (W / Wo) - 0.5
+    if align_corners:
+        ys = jnp.linspace(0.0, H - 1.0, Ho, dtype=image.dtype)
+        xs = jnp.linspace(0.0, W - 1.0, Wo, dtype=image.dtype)
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)
+    wx = jnp.clip(xs - x0, 0.0, 1.0)
+    y0, x0, y1, x1 = (a.astype(jnp.int32) for a in (y0, x0, y1, x1))
+
+    top = image[:, :, y0][:, :, :, x0] * (1 - wx) + image[:, :, y0][:, :, :, x1] * wx
+    bot = image[:, :, y1][:, :, :, x0] * (1 - wx) + image[:, :, y1][:, :, :, x1] * wx
+    return top * (1 - wy[:, None]) + bot * wy[:, None]
+
+
+def avg_pool2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Average pool [B, C, H, W] with stride == kernel == k."""
+    B, C, H, W = x.shape
+    x = x.reshape(B, C, H // k, k, W // k, k)
+    return x.mean(axis=(3, 5))
