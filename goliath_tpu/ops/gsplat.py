@@ -1,0 +1,472 @@
+"""3D Gaussian splatting for TPU (replaces the external CUDA `gsplat==0.1.11`,
+reference wrapper ca_code/utils/render_gsplat.py:13-108).
+
+Pipeline (all static shapes, jit/pjit-safe):
+  * `project_gaussians` — EWA projection: quat/scale -> cov3d -> perspective
+    Jacobian -> cov2d (+0.3px AA blur with gsplat's det-ratio compensation),
+    conics, 3-sigma screen radii. Pure jnp; AD differentiates it.
+  * depth argsort (XLA sort) + `bin_to_tiles` (ops/binning.py) group
+    gaussians per 16px screen tile in depth order.
+  * `rasterize_tiled` — per-tile front-to-back alpha compositing as a
+    chunked `lax.scan` (within-chunk ordering via cumprod), wrapped in a
+    **custom VJP** whose backward re-marches back-to-front reconstructing
+    transmittance from the saved final T — O(1) residual memory per pixel,
+    the same trick as gsplat's CUDA backward but vectorized for the VPU.
+  * `rasterize_reference` — exact O(pixels x gaussians) compositing used as
+    the parity/gradcheck oracle (the mvpraymarch-gradcheck pattern,
+    reference extensions/mvpraymarch/mvpraymarch.py:446-803).
+
+Depth is composited as an extra channel in the same pass (the reference
+rasterizes twice).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from goliath_tpu.ops.binning import TileBinning, bin_to_tiles
+from goliath_tpu.utils.quaternion import quat_to_matrix
+
+ALPHA_CLIP = 0.999
+ALPHA_MIN = 1.0 / 255.0
+
+
+# ---------------------------------------------------------------------------
+# projection
+# ---------------------------------------------------------------------------
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,   # [N, 3]
+    scales: jnp.ndarray,    # [N, 3]
+    quats: jnp.ndarray,     # [N, 4] (x, y, z, w)
+    Rt: jnp.ndarray,        # [3or4, 4] world->cam
+    fx: jnp.ndarray, fy: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+    img_h: int, img_w: int,
+    z_near: float = 0.1,
+    global_scale: float = 1.0,
+    blur: float = 0.3,
+) -> Dict[str, jnp.ndarray]:
+    R_wc = Rt[:3, :3]
+    t_wc = Rt[:3, 3]
+    p_cam = means3d @ R_wc.T + t_wc
+    z = p_cam[:, 2]
+    depths = z
+
+    Rq = quat_to_matrix(quats)                      # [N, 3, 3]
+    M = Rq * (scales * global_scale)[:, None, :]    # columns scaled
+    cov3d = M @ M.transpose(0, 2, 1)
+
+    zc = jnp.clip(z, min=1e-6)
+    # limit the EWA Jacobian evaluation point like gsplat (tan fov * 1.3)
+    lim_x = 1.3 * (0.5 * img_w / fx)
+    lim_y = 1.3 * (0.5 * img_h / fy)
+    tx = zc * jnp.clip(p_cam[:, 0] / zc, -lim_x, lim_x)
+    ty = zc * jnp.clip(p_cam[:, 1] / zc, -lim_y, lim_y)
+    O = jnp.zeros_like(zc)
+    J = jnp.stack(
+        [
+            jnp.stack([fx / zc, O, -fx * tx / zc**2], -1),
+            jnp.stack([O, fy / zc, -fy * ty / zc**2], -1),
+        ],
+        axis=-2,
+    )  # [N, 2, 3]
+    T = J @ R_wc[None]                               # [N, 2, 3]
+    cov2d = T @ cov3d @ T.transpose(0, 2, 1)         # [N, 2, 2]
+
+    det_raw = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2
+    cov2d = cov2d + blur * jnp.eye(2)[None]
+    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2
+    compensation = jnp.sqrt(jnp.clip(det_raw / jnp.clip(det, min=1e-12), min=0.0))
+
+    inv_det = 1.0 / jnp.clip(det, min=1e-12)
+    conics = jnp.stack(
+        [cov2d[:, 1, 1] * inv_det, -cov2d[:, 0, 1] * inv_det,
+         cov2d[:, 0, 0] * inv_det],
+        axis=-1,
+    )  # (a, b, c) of the inverse covariance
+
+    # 3-sigma radius from the larger eigenvalue
+    b_ = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    v1 = b_ + jnp.sqrt(jnp.clip(b_**2 - det, min=0.1))
+    radii = jnp.ceil(3.0 * jnp.sqrt(jnp.clip(v1, min=0.0)))
+
+    xys = jnp.stack(
+        [fx * p_cam[:, 0] / zc + cx, fy * p_cam[:, 1] / zc + cy], axis=-1
+    )
+
+    valid = (z > z_near) & (det > 0)
+    radii = jnp.where(valid, radii, 0.0)
+    return dict(
+        xys=xys, depths=depths, radii=radii, conics=conics,
+        compensation=compensation, valid=valid, cov3d=cov3d,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact reference compositing (parity oracle)
+# ---------------------------------------------------------------------------
+
+
+def rasterize_reference(
+    xys, conics, opacities, colors, depths, valid, img_h: int, img_w: int,
+    bg_color: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """O(H*W*N) exact front-to-back compositing. Use only on small inputs."""
+    order = jnp.argsort(depths)
+    xys = xys[order]
+    conics = conics[order]
+    op = opacities[order].reshape(-1)
+    col = colors[order]
+    val = valid[order]
+
+    ys = jnp.arange(img_h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(img_w, dtype=jnp.float32) + 0.5
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")
+    pix = jnp.stack([px, py], -1).reshape(-1, 2)  # [P, 2]
+
+    d = xys[:, None, :] - pix[None, :, :]  # [N, P, 2]
+    a, b, c = conics[:, 0:1], conics[:, 1:2], conics[:, 2:3]
+    sigma = 0.5 * (a * d[..., 0] ** 2 + c * d[..., 1] ** 2) + b * d[..., 0] * d[..., 1]
+    alpha = jnp.minimum(ALPHA_CLIP, op[:, None] * jnp.exp(-sigma))
+    alpha = jnp.where(
+        (sigma >= 0) & (alpha >= ALPHA_MIN) & val[:, None], alpha, 0.0
+    )
+    one_m = 1.0 - alpha
+    T_excl = jnp.cumprod(one_m, axis=0) / one_m  # T before each gaussian
+    w = alpha * T_excl  # [N, P]
+    out = jnp.einsum("np,nc->cp", w, col)
+    T_final = jnp.prod(one_m, axis=0)
+    if bg_color is not None:
+        out = out + T_final[None] * bg_color[:, None]
+    C = colors.shape[-1]
+    return out.reshape(C, img_h, img_w), T_final.reshape(img_h, img_w)
+
+
+# ---------------------------------------------------------------------------
+# tiled rasterizer with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _tile_pixels(tile_size: int, num_tiles_x: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pixel-center offsets within a tile [P, 2] and helper for tile origin."""
+    ty, tx = jnp.meshgrid(
+        jnp.arange(tile_size, dtype=jnp.float32),
+        jnp.arange(tile_size, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return jnp.stack([tx, ty], -1).reshape(-1, 2) + 0.5
+
+
+def _chunk_alpha(gi, m, xys, conics, opacities, valid, pix):
+    """alpha for a chunk of gaussians at tile pixels. gi [CH], pix [P, 2].
+
+    sigma is clamped to >= 0 before the exp so masked/invalid gaussians
+    (garbage conics) can't overflow into inf/NaN in fwd or bwd.
+    """
+    xy = xys[gi]                     # [CH, 2]
+    con = conics[gi]                 # [CH, 3]
+    op = opacities[gi].reshape(-1)   # [CH]
+    vl = valid[gi]
+    d = xy[:, None, :] - pix[None]   # [CH, P, 2]
+    a, b, c = con[:, 0:1], con[:, 1:2], con[:, 2:3]
+    sigma = 0.5 * (a * d[..., 0] ** 2 + c * d[..., 1] ** 2) \
+        + b * d[..., 0] * d[..., 1]
+    sigma_safe = jnp.clip(sigma, 0.0, 60.0)
+    raw = op[:, None] * jnp.exp(-sigma_safe)
+    alpha = jnp.minimum(ALPHA_CLIP, raw)
+    keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & vl[:, None] & m[:, None]
+    return jnp.where(keep, alpha, 0.0), (d, sigma_safe, raw, keep)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def rasterize_tiled(
+    xys, conics, opacities, colors, binning_and_valid,
+    img_h: int, img_w: int, tile_size: int, max_pairs_per_tile: int,
+    chunk: int,
+):
+    out, T_final = _rasterize_fwd_impl(
+        xys, conics, opacities, colors, binning_and_valid,
+        img_h, img_w, tile_size, max_pairs_per_tile, chunk,
+    )
+    return out, T_final
+
+
+def _rasterize_fwd_impl(
+    xys, conics, opacities, colors, binning_and_valid,
+    img_h, img_w, tile_size, max_pairs_per_tile, chunk,
+):
+    binning, valid = binning_and_valid
+    ntx, nty = binning.num_tiles_x, binning.num_tiles_y
+    P = tile_size * tile_size
+    C = colors.shape[-1]
+    nchunks = max_pairs_per_tile // chunk
+    pix_local = _tile_pixels(tile_size, ntx)  # [P, 2]
+    budget = binning.sorted_prim.shape[0]
+
+    def render_tile(tile_idx, start, end):
+        tx = tile_idx % ntx
+        ty = tile_idx // ntx
+        origin = jnp.stack([tx * tile_size, ty * tile_size]).astype(jnp.float32)
+        pix = pix_local + origin[None]
+
+        def step(carry, ci):
+            T, acc = carry
+            idxs = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            m = idxs < end
+            gi = binning.sorted_prim[jnp.clip(idxs, 0, budget - 1)]
+            alpha, _ = _chunk_alpha(gi, m, xys, conics, opacities, valid, pix)
+            one_m = 1.0 - alpha                      # [CH, P]
+            cum = jnp.cumprod(one_m, axis=0)
+            T_excl = T[None] * cum / one_m           # T before each element
+            w = alpha * T_excl                       # [CH, P]
+            acc = acc + jnp.einsum("kp,kc->cp", w, colors[gi])
+            T = T * cum[-1]
+            return (T, acc), None
+
+        init = (jnp.ones((P,)), jnp.zeros((C, P)))
+        (T, acc), _ = lax.scan(step, init, jnp.arange(nchunks, dtype=jnp.int32))
+        return acc, T
+
+    tiles = jnp.arange(ntx * nty, dtype=jnp.int32)
+    accs, Ts = jax.vmap(render_tile)(tiles, binning.tile_start, binning.tile_end)
+    # accs [T, C, P] -> [C, H, W]
+    out = _tiles_to_image(accs, ntx, nty, tile_size, img_h, img_w)
+    T_img = _tiles_to_image(Ts[:, None], ntx, nty, tile_size, img_h, img_w)[0]
+    return out, T_img
+
+
+def _tiles_to_image(tiles_cp, ntx, nty, ts, img_h, img_w):
+    """[T, C, P] -> [C, H, W] (crop to image size)."""
+    T, C, P = tiles_cp.shape
+    x = tiles_cp.reshape(nty, ntx, C, ts, ts)
+    x = x.transpose(2, 0, 3, 1, 4).reshape(C, nty * ts, ntx * ts)
+    return x[:, :img_h, :img_w]
+
+
+def _image_to_tiles(img, ntx, nty, ts):
+    """[C, H, W] -> [T, C, P] with zero padding."""
+    C, H, W = img.shape
+    pad_h = nty * ts - H
+    pad_w = ntx * ts - W
+    x = jnp.pad(img, ((0, 0), (0, pad_h), (0, pad_w)))
+    x = x.reshape(C, nty, ts, ntx, ts).transpose(1, 3, 0, 2, 4)
+    return x.reshape(nty * ntx, C, ts * ts)
+
+
+def _rasterize_fwd(xys, conics, opacities, colors, binning_and_valid,
+                   img_h, img_w, tile_size, max_pairs_per_tile, chunk):
+    out, T_final = _rasterize_fwd_impl(
+        xys, conics, opacities, colors, binning_and_valid,
+        img_h, img_w, tile_size, max_pairs_per_tile, chunk,
+    )
+    res = (xys, conics, opacities, colors, binning_and_valid, T_final)
+    return (out, T_final), res
+
+
+def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
+                   res, grads):
+    xys, conics, opacities, colors, binning_and_valid, T_final = res
+    dL_dout, dL_dT = grads
+    binning, valid = binning_and_valid
+    ntx, nty = binning.num_tiles_x, binning.num_tiles_y
+    P = tile_size * tile_size
+    C = colors.shape[-1]
+    nchunks = max_pairs_per_tile // chunk
+    pix_local = _tile_pixels(tile_size, ntx)
+    budget = binning.sorted_prim.shape[0]
+    N = xys.shape[0]
+
+    dout_tiles = _image_to_tiles(dL_dout, ntx, nty, tile_size)      # [T, C, P]
+    dT_tiles = _image_to_tiles(dL_dT[None], ntx, nty, tile_size)[:, 0]  # [T, P]
+    Tf_tiles = _image_to_tiles(T_final[None], ntx, nty, tile_size)[:, 0]
+
+    def grad_tile(tile_idx, start, end, dout, dT, Tf):
+        tx = tile_idx % ntx
+        ty = tile_idx // ntx
+        origin = jnp.stack([tx * tile_size, ty * tile_size]).astype(jnp.float32)
+        pix = pix_local + origin[None]
+
+        def step(carry, ci_rev):
+            T_run, S = carry  # T after remaining chunk(s); suffix color [C, P]
+            ci = nchunks - 1 - ci_rev
+            idxs = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            m = idxs < end
+            gi = binning.sorted_prim[jnp.clip(idxs, 0, budget - 1)]
+            alpha, (d, sigma, raw, keep) = _chunk_alpha(
+                gi, m, xys, conics, opacities, valid, pix
+            )
+            col = colors[gi]                          # [CH, C]
+            one_m = 1.0 - alpha
+            # suffix products including element i (within chunk)
+            rev_cum = jnp.cumprod(one_m[::-1], axis=0)[::-1]   # [CH, P]
+            T_i = T_run[None] / jnp.clip(rev_cum, min=1e-20)   # T before elem i
+            w_i = alpha * T_i                                   # [CH, P]
+            cw = jnp.einsum("kp,kc->kcp", w_i, col)             # [CH, C, P]
+            # suffix color after element i: S + sum_{j>i} cw_j
+            suff = jnp.cumsum(cw[::-1], axis=0)[::-1] - cw      # [CH, C, P]
+            S_i = S[None] + suff
+
+            inv_one_m = 1.0 / jnp.clip(one_m, min=1e-3)
+            dalpha = (
+                jnp.einsum("cp,kcp->kp", dout, col[..., None] * T_i[:, None]
+                           - S_i * inv_one_m[:, None])
+                - (dT * Tf)[None] * inv_one_m
+            )
+            dalpha = jnp.where(keep, dalpha, 0.0)
+            # d alpha / d raw: 1 where not clipped
+            not_clipped = raw < ALPHA_CLIP
+            draw = jnp.where(not_clipped, dalpha, 0.0)
+            op = opacities[gi].reshape(-1)
+            dop = jnp.sum(draw * jnp.exp(-sigma) * keep, axis=1)       # [CH]
+            dsigma = -raw * draw                                        # [CH, P]
+            dsigma = jnp.where(keep, dsigma, 0.0)
+            d0, d1 = d[..., 0], d[..., 1]
+            dcon = jnp.stack(
+                [jnp.sum(0.5 * d0 * d0 * dsigma, 1),
+                 jnp.sum(d0 * d1 * dsigma, 1),
+                 jnp.sum(0.5 * d1 * d1 * dsigma, 1)], axis=-1)          # [CH,3]
+            con = conics[gi]
+            dxy = jnp.stack(
+                [jnp.sum((con[:, 0:1] * d0 + con[:, 1:2] * d1) * dsigma, 1),
+                 jnp.sum((con[:, 1:2] * d0 + con[:, 2:3] * d1) * dsigma, 1)],
+                axis=-1)                                                # [CH,2]
+            dcol = jnp.einsum("kp,cp->kc", w_i, dout)                   # [CH,C]
+
+            S = S + jnp.sum(cw, axis=0)
+            T_run = T_run / jnp.clip(rev_cum[0], min=1e-20)
+            pair_grads = jnp.concatenate(
+                [dxy, dcon, dop[:, None], dcol], axis=-1)               # [CH, 6+C]
+            return (T_run, S), pair_grads
+
+        init = (Tf, jnp.zeros((C, P)))
+        (_, _), pair_grads = lax.scan(
+            step, init, jnp.arange(nchunks, dtype=jnp.int32)
+        )
+        # scan stacked in reverse order; restore depth order
+        return pair_grads[::-1].reshape(nchunks * chunk, -1)
+
+    tiles = jnp.arange(ntx * nty, dtype=jnp.int32)
+    pair_grads = jax.vmap(grad_tile)(
+        tiles, binning.tile_start, binning.tile_end, dout_tiles, dT_tiles,
+        Tf_tiles,
+    )  # [T, maxpp, 6+C]
+
+    # scatter pair grads back to gaussians
+    maxpp = max_pairs_per_tile
+    local = jnp.arange(maxpp, dtype=jnp.int32)[None]
+    pair_pos = binning.tile_start[:, None] + local                  # [T, maxpp]
+    pair_ok = pair_pos < binning.tile_end[:, None]
+    pair_pos = jnp.clip(pair_pos, 0, budget - 1)
+    gi = binning.sorted_prim[pair_pos]                              # [T, maxpp]
+    gi = jnp.where(pair_ok, gi, N)                                  # drop
+    flat_gi = gi.reshape(-1)
+    flat_g = pair_grads.reshape(-1, pair_grads.shape[-1])
+    acc = jnp.zeros((N, flat_g.shape[-1]))
+    acc = acc.at[flat_gi].add(flat_g, mode="drop")
+
+    dxys = acc[:, 0:2]
+    dconics = acc[:, 2:5]
+    dopacities = acc[:, 5:6].reshape(opacities.shape)
+    dcolors = acc[:, 6:]
+    return (dxys, dconics, dopacities, dcolors, None)
+
+
+rasterize_tiled.defvjp(_rasterize_fwd, _rasterize_bwd)
+
+
+# ---------------------------------------------------------------------------
+# full render (batched)
+# ---------------------------------------------------------------------------
+
+
+def render(
+    cam_img_w: int,
+    cam_img_h: int,
+    K: jnp.ndarray,           # [B, 3, 3]
+    Rt: jnp.ndarray,          # [B, 3or4, 4]
+    primpos: jnp.ndarray,     # [B, N, 3]
+    primqvec: jnp.ndarray,    # [B, N, 4]
+    primscale: jnp.ndarray,   # [B, N, 3]
+    opacity: jnp.ndarray,     # [B, N, 1]
+    colors: jnp.ndarray,      # [B, N, 3]
+    return_depth: bool = True,
+    bg_color: Optional[jnp.ndarray] = None,
+    tile_size: int = 16,
+    global_scale: float = 1.0,
+    z_near: float = 0.1,
+    max_tiles_per_prim: int = 64,
+    max_pairs_per_tile: int = 512,
+    chunk: int = 32,
+    pair_budget_mult: int = 4,
+) -> Dict[str, jnp.ndarray]:
+    """Batched gaussian-splat render (reference render_gsplat.py:13-108).
+
+    Returns dict(render [B,3,H,W], final_T [B,1,H,W], alpha [B,1,H,W],
+    depth [B,1,H,W], radii [B,N]).
+    """
+    ntx = -(-cam_img_w // tile_size)
+    nty = -(-cam_img_h // tile_size)
+    N = primpos.shape[1]
+
+    def one(K_b, Rt_b, pos, quat, scale, op, col):
+        proj = project_gaussians(
+            pos, scale, quat, Rt_b,
+            K_b[0, 0], K_b[1, 1], K_b[0, 2], K_b[1, 2],
+            cam_img_h, cam_img_w, z_near, global_scale,
+        )
+        order = jnp.argsort(proj["depths"])
+        xys = proj["xys"][order]
+        conics = proj["conics"][order]
+        radii = proj["radii"][order]
+        valid = proj["valid"][order]
+        comp = proj["compensation"][order]
+        op_s = (op.reshape(-1) * comp)[order][:, None]
+        depth_s = proj["depths"][order]
+        chan = col[order]
+        if return_depth:
+            chan = jnp.concatenate([chan, depth_s[:, None]], axis=-1)
+
+        t_min = jnp.stack(
+            [jnp.floor((xys[:, 0] - radii) / tile_size),
+             jnp.floor((xys[:, 1] - radii) / tile_size)], -1
+        ).astype(jnp.int32)
+        t_max = jnp.stack(
+            [jnp.floor((xys[:, 0] + radii) / tile_size) + 1,
+             jnp.floor((xys[:, 1] + radii) / tile_size) + 1], -1
+        ).astype(jnp.int32)
+        binning = bin_to_tiles(
+            t_min, t_max, valid & (radii > 0), ntx, nty,
+            max_tiles_per_prim, pair_budget_mult * N,
+        )
+        out, T_final = rasterize_tiled(
+            xys, conics, op_s, chan,
+            (binning, valid),
+            cam_img_h, cam_img_w, tile_size, max_pairs_per_tile, chunk,
+        )
+        # un-sort radii for the caller
+        radii_orig = jnp.zeros_like(radii).at[order].set(radii)
+        return out, T_final, radii_orig
+
+    out, T_final, radii = jax.vmap(one)(
+        K, Rt, primpos, primqvec, primscale, opacity, colors
+    )
+    rgb = out[:, :3]
+    alpha = (1.0 - T_final)[:, None]
+    if bg_color is not None:
+        rgb = rgb + T_final[:, None] * bg_color[None, :, None, None]
+    result = {
+        "render": rgb,
+        "final_T": T_final[:, None],
+        "alpha": alpha,
+        "radii": radii,
+    }
+    if return_depth:
+        result["depth"] = out[:, 3:4]
+    return result
