@@ -1,0 +1,228 @@
+"""Perceptual losses (reference: ca_code/loss/{perceptual,vgg,effnet}.py).
+
+VGG19 5-slice masked feature L1 (weights [20, 5, .9, .5, .5]) and an
+EfficientNet-B0-style 3-stage feature loss (weights [.8, .1, .1]).
+
+The reference downloads ImageNet weights via torchvision; this environment
+has no torchvision and no egress, so feature weights are loaded from an
+`.npz` pointed to by GOLIATH_TPU_VGG19_NPZ / GOLIATH_TPU_EFFNET_NPZ (numpy
+arrays keyed conv{i}_w / conv{i}_b in torch OIHW layout) when available, and
+otherwise fall back to a fixed-seed random init — random convolutional
+features are a serviceable perceptual prior, and the seed is fixed so the
+loss is deterministic. A warning is logged on fallback.
+
+TPU notes: feature extraction is plain NCHW convs that XLA tiles onto the
+MXU; inputs are normalized from [0, 255] like the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import lru_cache
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from goliath_tpu.losses import register_loss
+from goliath_tpu.utils.image import erode
+from goliath_tpu.utils.sampling import interpolate_bilinear
+
+logger = logging.getLogger(__name__)
+
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+# VGG19 conv ladder matching torchvision `features` indices 0-29 (conv counts):
+# slice boundaries at relu1_1(conv0), relu2_2(conv3), relu3_2(conv5),
+# relu4_2(conv9), relu5_2(conv13) — same receptive-field structure as the
+# reference's 5 slices (vgg.py:28-48).
+_VGG19_CONVS = [64, 64, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512,
+                512, 512]
+_VGG19_POOL_BEFORE = {2, 4, 8, 12}     # conv indices (0-based) preceded by pool
+_VGG19_SLICE_AFTER = {0: 0, 3: 1, 5: 2, 9: 3, 13: 4}  # conv idx -> slice id
+
+
+def _max_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+    )
+
+
+def _conv_relu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    ) + b[None, :, None, None]
+    return jnp.maximum(y, 0.0)
+
+
+@lru_cache(maxsize=1)
+def _vgg19_weights():
+    path = os.environ.get("GOLIATH_TPU_VGG19_NPZ", "")
+    if path and os.path.exists(path):
+        data = np.load(path)
+        ws = [(jnp.asarray(data[f"conv{i}_w"]), jnp.asarray(data[f"conv{i}_b"]))
+              for i in range(len(_VGG19_CONVS))]
+        logger.info(f"loaded VGG19 weights from {path}")
+        return ws
+    logger.warning(
+        "VGG19 pretrained weights unavailable (set GOLIATH_TPU_VGG19_NPZ); "
+        "using fixed-seed random features."
+    )
+    key = jax.random.PRNGKey(1234)
+    ws = []
+    cin = 3
+    for i, cout in enumerate(_VGG19_CONVS):
+        key, k1 = jax.random.split(key)
+        std = np.sqrt(2.0 / (cin * 9))
+        w = jax.random.normal(k1, (cout, cin, 3, 3), jnp.float32) * std
+        ws.append((w, jnp.zeros((cout,), jnp.float32)))
+        cin = cout
+    return ws
+
+
+def _normalize_imagenet(batch: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.asarray(_IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(_IMAGENET_STD).reshape(1, 3, 1, 1)
+    return (jnp.clip(batch / 255.0, 0.0, 1.0) - mean) / std
+
+
+def _vgg19_features(x: jnp.ndarray) -> List[jnp.ndarray]:
+    ws = _vgg19_weights()
+    feats = []
+    h = x
+    for i, (w, b) in enumerate(ws):
+        if i in _VGG19_POOL_BEFORE:
+            h = _max_pool2(h)
+        h = _conv_relu(h, lax.stop_gradient(w), lax.stop_gradient(b))
+        if i in _VGG19_SLICE_AFTER:
+            feats.append(h)
+    return feats
+
+
+class VGGLossMasked:
+    """Masked multi-slice VGG feature L1 (reference vgg.py:53-88)."""
+
+    def __init__(self, weights: Optional[List[float]] = None):
+        self.weights = weights or [20.0, 5.0, 0.9, 0.5, 0.5]
+
+    def __call__(self, x_rgb, y_rgb, mask):
+        fx = _vgg19_features(_normalize_imagenet(x_rgb))
+        fy = _vgg19_features(_normalize_imagenet(y_rgb))
+        loss = 0.0
+        for i, (vx, vy) in enumerate(zip(fx, fy)):
+            if isinstance(mask, jnp.ndarray):
+                m = lax.stop_gradient(interpolate_bilinear(
+                    mask.astype(vx.dtype), size=vx.shape[-2:]
+                ))
+            else:
+                m = mask
+            loss = loss + self.weights[i] * jnp.mean(jnp.abs(vx * m - vy * m))
+        return loss
+
+
+# EfficientNet-B0-ish feature stages: stem conv + 2 MBConv-like stages.
+# Without pretrained weights we approximate the stage structure (stride-2
+# depthwise-separable blocks) — receptive fields match B0's features[1:4].
+_EFFNET_STAGES = [(32, 2), (16, 1), (24, 2), (40, 2)]
+
+
+@lru_cache(maxsize=1)
+def _effnet_weights():
+    path = os.environ.get("GOLIATH_TPU_EFFNET_NPZ", "")
+    if path and os.path.exists(path):
+        data = np.load(path)
+        return [
+            (jnp.asarray(data[f"conv{i}_w"]), jnp.asarray(data[f"conv{i}_b"]))
+            for i in range(len(_EFFNET_STAGES))
+        ]
+    logger.warning(
+        "EfficientNet weights unavailable (set GOLIATH_TPU_EFFNET_NPZ); "
+        "using fixed-seed random features."
+    )
+    key = jax.random.PRNGKey(4321)
+    ws = []
+    cin = 3
+    for i, (cout, _) in enumerate(_EFFNET_STAGES):
+        key, k1 = jax.random.split(key)
+        std = np.sqrt(2.0 / (cin * 9))
+        w = jax.random.normal(k1, (cout, cin, 3, 3), jnp.float32) * std
+        ws.append((w, jnp.zeros((cout,), jnp.float32)))
+        cin = cout
+    return ws
+
+
+def _effnet_features(x: jnp.ndarray) -> List[jnp.ndarray]:
+    ws = _effnet_weights()
+    feats = []
+    h = x
+    for i, ((w, b), (cout, stride)) in enumerate(zip(ws, _EFFNET_STAGES)):
+        h = lax.conv_general_dilated(
+            h, lax.stop_gradient(w), (stride, stride), [(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        ) + lax.stop_gradient(b)[None, :, None, None]
+        h = h * jax.nn.sigmoid(h)  # SiLU like EfficientNet
+        if i >= 1:  # features[1], [2], [3]
+            feats.append(h)
+    return feats
+
+
+class EfficientNetLoss:
+    """Masked EfficientNet-stage feature L1 (reference effnet.py:16-69)."""
+
+    def __init__(self, activation_idxs=None, weights=None):
+        self.weights = weights or [0.8, 0.1, 0.1]
+
+    def __call__(self, x, y, mask=None):
+        fx = _effnet_features(_normalize_imagenet(x))
+        fy = _effnet_features(_normalize_imagenet(y))
+        loss = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            if isinstance(mask, jnp.ndarray):
+                m = lax.stop_gradient(interpolate_bilinear(
+                    mask.astype(a.dtype), size=a.shape[-2:]
+                ))
+            else:
+                m = 1.0
+            loss = loss + self.weights[i] * jnp.mean(jnp.abs((a - b) * m))
+        return loss
+
+
+class BasePerceptualLoss:
+    def __init__(self, assets, net, src_key="rendered_rgb", tgt_key="image",
+                 dst_key=None, mask_key="image_mask", mask_erode=None):
+        self.src_key, self.tgt_key, self.dst_key = src_key, tgt_key, dst_key
+        self.mask_key, self.mask_erode = mask_key, mask_erode
+        self.net = net
+
+    def __call__(self, preds, targets):
+        fg_mask = (targets[self.mask_key] if self.mask_key in targets
+                   else preds[self.mask_key])
+        if self.mask_erode is not None:
+            fg_mask = erode(fg_mask, self.mask_erode)
+        src = preds[self.src_key]
+        tgt = targets[self.tgt_key] if self.dst_key is None else preds[self.dst_key]
+        return self.net(src, tgt, fg_mask)
+
+
+@register_loss("vgg")
+class VGGLoss(BasePerceptualLoss):
+    def __init__(self, assets, **kwargs):
+        super().__init__(assets, net=VGGLossMasked(), **kwargs)
+
+
+@register_loss("effnet")
+class EfficientNetLossImpl(BasePerceptualLoss):
+    def __init__(self, assets, **kwargs):
+        super().__init__(assets, net=EfficientNetLoss(), **kwargs)
+
+
+@register_loss("effnet_phys")
+class EfficientNetLossImplPhys(BasePerceptualLoss):
+    def __init__(self, assets, **kwargs):
+        super().__init__(assets, net=EfficientNetLoss(),
+                         src_key="rendered_phys_rgb", **kwargs)
