@@ -1,0 +1,205 @@
+"""Synthetic capture fixture: a textured UV-sphere in a camera ring.
+
+Stands in for the gated Goliath dataset in tests and benchmarks (the
+reference has no such fixture — SURVEY.md 4 calls for one). Generates
+static assets (topology, verts mean/var, color mean, camera ids, neighbour
+tables) and per-(frame, camera) batches with the exact keys BodyDataset
+yields for heads (reference ca_code/utils/dataloader.py:716-735).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from goliath_tpu.utils.assets import AttrDict
+from goliath_tpu.utils.geom import compute_neighbours, compute_v2uv
+
+
+def make_sphere_mesh(n_lat: int = 8, n_lon: int = 12, radius: float = 100.0):
+    """UV sphere with a rectangular UV atlas; returns (v, vi, vt, vti)."""
+    verts = []
+    uvs = []
+    for i in range(n_lat + 1):
+        theta = np.pi * i / n_lat
+        for j in range(n_lon + 1):
+            phi = 2 * np.pi * j / n_lon
+            verts.append([
+                radius * np.sin(theta) * np.cos(phi),
+                radius * np.cos(theta),
+                radius * np.sin(theta) * np.sin(phi),
+            ])
+            uvs.append([
+                0.05 + 0.9 * j / n_lon,
+                0.05 + 0.9 * i / n_lat,
+            ])
+    v = np.asarray(verts, np.float32)
+    vt = np.asarray(uvs, np.float32)
+    faces = []
+    stride = n_lon + 1
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * stride + j
+            b = a + 1
+            c = a + stride
+            d = c + 1
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    vi = np.asarray(faces, np.int64)
+    return v, vi, vt, vi.copy()
+
+
+def make_camera_ring(n_cams: int, img_h: int, img_w: int,
+                     dist: float = 400.0, focal: float | None = None):
+    """Cameras on a ring looking at the origin; returns (K, Rt, campos)."""
+    if focal is None:
+        focal = 1.2 * max(img_h, img_w)
+    Ks, Rts, poss = [], [], []
+    for c in range(n_cams):
+        ang = 2 * np.pi * c / n_cams
+        pos = np.asarray(
+            [dist * np.sin(ang), 0.3 * dist * np.sin(2 * ang),
+             dist * np.cos(ang)], np.float32
+        )
+        fwd = -pos / np.linalg.norm(pos)
+        up = np.asarray([0, 1, 0], np.float32)
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd])  # world->cam rows
+        t = -R @ pos
+        Rt = np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
+        K = np.asarray(
+            [[focal, 0, img_w / 2], [0, focal, img_h / 2], [0, 0, 1]],
+            np.float32,
+        )
+        Ks.append(K)
+        Rts.append(Rt)
+        poss.append(pos)
+    return np.stack(Ks), np.stack(Rts), np.stack(poss)
+
+
+class SyntheticDataset:
+    """Iterable yielding BodyDataset-shaped batches for HEAD captures."""
+
+    def __init__(
+        self,
+        n_cams: int = 4,
+        n_frames: int = 8,
+        img_h: int = 64,
+        img_w: int = 64,
+        uv_size: int = 64,
+        n_lat: int = 8,
+        n_lon: int = 12,
+        n_lights: int = 5,
+        n_pose_dims: int = 6,
+        seed: int = 0,
+    ):
+        self.rng = np.random.RandomState(seed)
+        self.img_h, self.img_w = img_h, img_w
+        self.uv_size = uv_size
+        self.n_frames = n_frames
+        self.n_lights_max = n_lights
+
+        v, vi, vt, vti = make_sphere_mesh(n_lat, n_lon)
+        self.v, self.vi, self.vt, self.vti = v, vi, vt, vti
+        K, Rt, campos = make_camera_ring(n_cams, img_h, img_w)
+        self.K, self.Rt, self.campos = K, Rt, campos
+        self.camera_ids = [f"40{i:04d}" for i in range(n_cams)]
+
+        nbs_idxs, nbs_weights = compute_neighbours(len(v), vi)
+        color_mean = (
+            self.rng.rand(3, uv_size, uv_size).astype(np.float32) * 128 + 64
+        )
+        self.static_assets = AttrDict({
+            "topology": {
+                "v": v, "vi": vi, "vt": vt, "vti": vti,
+                "v2uv": compute_v2uv(len(v), vi, vti),
+                "nbs_idxs": nbs_idxs, "nbs_weights": nbs_weights,
+            },
+            "verts_mean": v,
+            "verts_var": float(v.var()),
+            "color_mean": color_mean,
+            "camera_ids": self.camera_ids,
+            "n_pose_dims": n_pose_dims,
+        })
+
+    def __len__(self) -> int:
+        return self.n_frames * len(self.camera_ids)
+
+    def get(self, frame: int, cam: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(frame * 977 + cam)
+        H, W = self.img_h, self.img_w
+        T = self.uv_size
+        L = self.n_lights_max
+
+        # per-frame head wobble
+        angle = 0.1 * np.sin(frame * 0.7)
+        ca, sa = np.cos(angle), np.sin(angle)
+        R_head = np.asarray(
+            [[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]], np.float32
+        )
+        head_pose = np.concatenate(
+            [R_head, np.asarray([[0.0], [0.0], [0.0]], np.float32)], axis=1
+        )
+
+        verts = (self.v @ R_head.T).astype(np.float32)
+        verts += rng.randn(*verts.shape).astype(np.float32) * 0.2
+
+        light_pos = rng.randn(L, 3).astype(np.float32)
+        light_pos = 500.0 * light_pos / np.linalg.norm(
+            light_pos, axis=-1, keepdims=True
+        )
+        n_lights = 1 if frame % 3 == 0 else L
+        light_intensity = np.ones((L, 1), np.float32) / n_lights
+
+        image = rng.rand(3, H, W).astype(np.float32)
+        return {
+            "head_pose": head_pose,
+            "campos": self.campos[cam],
+            "camera_idx": np.int32(cam),
+            "camera_id": self.camera_ids[cam],
+            "frame_id": np.int64(frame),
+            "registration_vertices": verts,
+            "color": (
+                rng.rand(3, T, T).astype(np.float32) * 255.0
+            ),
+            "light_intensity": light_intensity,
+            "light_pos": light_pos,
+            "n_lights": np.int32(n_lights),
+            "K": self.K[cam],
+            "Rt": self.Rt[cam],
+            "focal": self.K[cam][:2, :2],
+            "princpt": self.K[cam][:2, 2],
+            "image": image,
+            "image_weight": np.ones((1, H, W), np.float32),
+            "image_mask": np.ones((1, H, W), np.float32),
+            "background": np.zeros((3, H, W), np.float32),
+            "is_fully_lit_frame": np.bool_(frame % 3 == 0),
+            # body/hand model extras
+            "pose": rng.randn(self.static_assets.n_pose_dims).astype(np.float32),
+            "ambient_occlusion": rng.rand(1, T, T).astype(np.float32),
+        }
+
+    def batches(self, batch_size: int, n_batches: int,
+                keys: Optional[List[str]] = None):
+        """Yields collated numpy batches (host-side)."""
+        idx = 0
+        for _ in range(n_batches):
+            samples = []
+            for _ in range(batch_size):
+                frame = idx % self.n_frames
+                cam = (idx // self.n_frames) % len(self.camera_ids)
+                samples.append(self.get(frame, cam))
+                idx += 1
+            batch: Dict[str, np.ndarray] = {}
+            for k in samples[0]:
+                if keys is not None and k not in keys:
+                    continue
+                vals = [s[k] for s in samples]
+                if isinstance(vals[0], str):
+                    batch[k] = vals
+                else:
+                    batch[k] = np.stack(vals)
+            yield batch

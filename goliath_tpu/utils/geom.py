@@ -232,7 +232,8 @@ def face_normals(v: jnp.ndarray, vi: jnp.ndarray, eps: float = 1e-5) -> jnp.ndar
     v0 = pts[:, :, 1] - pts[:, :, 0]
     v1 = pts[:, :, 2] - pts[:, :, 0]
     n = jnp.cross(v0, v1)
-    return n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), min=eps)
+    # eps inside the sqrt keeps gradients finite for degenerate faces
+    return n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + eps * eps)
 
 
 def vert_normals(v: jnp.ndarray, vi: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -241,7 +242,7 @@ def vert_normals(v: jnp.ndarray, vi: jnp.ndarray, eps: float = 1e-5) -> jnp.ndar
     fn3 = jnp.repeat(fn[:, :, None], 3, axis=2).reshape(fn.shape[0], -1, 3)
     flat_vi = vi.reshape(-1)
     vn = jnp.zeros_like(v).at[:, flat_vi].add(fn3)
-    return vn / jnp.clip(jnp.linalg.norm(vn, axis=-1, keepdims=True), min=eps)
+    return vn / jnp.sqrt(jnp.sum(vn * vn, axis=-1, keepdims=True) + eps * eps)
 
 
 def compute_view_cos(verts: jnp.ndarray, faces: jnp.ndarray,
@@ -253,7 +254,7 @@ def compute_view_cos(verts: jnp.ndarray, faces: jnp.ndarray,
 
 
 def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), min=eps)
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
 
 
 def compute_tbn(geom: jnp.ndarray, vt: jnp.ndarray, vi: jnp.ndarray,

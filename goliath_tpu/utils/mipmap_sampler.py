@@ -27,8 +27,7 @@ def mipmap_grid_sample(
     if isinstance(input, jnp.ndarray):
         input = [input]
     q = len(input)
-    lam = jnp.clip(jax.lax_stop_gradient_safe(mipmap_level), 0.0, q - 1 - 1e-6) \
-        if False else jnp.clip(mipmap_level, 0.0, q - 1 - 1e-6)
+    lam = jnp.clip(mipmap_level, 0.0, q - 1 - 1e-6)
     d1 = jnp.floor(lam).astype(jnp.int32)
     a = lam - d1.astype(lam.dtype)
 
@@ -47,6 +46,3 @@ def mipmap_grid_sample(
         stacked, (d1 + 1)[None, :, None].astype(jnp.int32), axis=0
     )[0]
     return lo + (hi - lo) * a[:, None]
-
-
-import jax  # noqa: E402  (used for potential stop_gradient hooks)
