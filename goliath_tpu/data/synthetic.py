@@ -128,6 +128,15 @@ class SyntheticDataset:
     def __len__(self) -> int:
         return self.n_frames * len(self.camera_ids)
 
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        frame = idx % self.n_frames
+        cam = idx // self.n_frames
+        return self.get(frame, cam)
+
+    @staticmethod
+    def batch_filter(batch):
+        return batch
+
     def get(self, frame: int, cam: int) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(frame * 977 + cam)
         H, W = self.img_h, self.img_w

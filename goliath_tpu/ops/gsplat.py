@@ -185,30 +185,32 @@ def _chunk_alpha(gi, m, xys, conics, opacities, valid, pix):
     return jnp.where(keep, alpha, 0.0), (d, sigma_safe, raw, keep)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def rasterize_tiled(
-    xys, conics, opacities, colors, binning_and_valid,
+    xys, conics, opacities, colors, binning_arrays,
     img_h: int, img_w: int, tile_size: int, max_pairs_per_tile: int,
-    chunk: int,
+    chunk: int, ntx: int, nty: int,
 ):
+    """binning_arrays: (sorted_prim, tile_start, tile_end, valid) — arrays
+    only; static tile-grid dims travel as nondiff args so they stay Python
+    ints under jit (custom_vjp lifts every pytree leaf to a tracer)."""
     out, T_final = _rasterize_fwd_impl(
-        xys, conics, opacities, colors, binning_and_valid,
-        img_h, img_w, tile_size, max_pairs_per_tile, chunk,
+        xys, conics, opacities, colors, binning_arrays,
+        img_h, img_w, tile_size, max_pairs_per_tile, chunk, ntx, nty,
     )
     return out, T_final
 
 
 def _rasterize_fwd_impl(
-    xys, conics, opacities, colors, binning_and_valid,
-    img_h, img_w, tile_size, max_pairs_per_tile, chunk,
+    xys, conics, opacities, colors, binning_arrays,
+    img_h, img_w, tile_size, max_pairs_per_tile, chunk, ntx, nty,
 ):
-    binning, valid = binning_and_valid
-    ntx, nty = binning.num_tiles_x, binning.num_tiles_y
+    sorted_prim, tile_start, tile_end, valid = binning_arrays
     P = tile_size * tile_size
     C = colors.shape[-1]
     nchunks = max_pairs_per_tile // chunk
     pix_local = _tile_pixels(tile_size, ntx)  # [P, 2]
-    budget = binning.sorted_prim.shape[0]
+    budget = sorted_prim.shape[0]
 
     def render_tile(tile_idx, start, end):
         tx = tile_idx % ntx
@@ -220,7 +222,7 @@ def _rasterize_fwd_impl(
             T, acc = carry
             idxs = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
             m = idxs < end
-            gi = binning.sorted_prim[jnp.clip(idxs, 0, budget - 1)]
+            gi = sorted_prim[jnp.clip(idxs, 0, budget - 1)]
             alpha, _ = _chunk_alpha(gi, m, xys, conics, opacities, valid, pix)
             one_m = 1.0 - alpha                      # [CH, P]
             cum = jnp.cumprod(one_m, axis=0)
@@ -235,7 +237,7 @@ def _rasterize_fwd_impl(
         return acc, T
 
     tiles = jnp.arange(ntx * nty, dtype=jnp.int32)
-    accs, Ts = jax.vmap(render_tile)(tiles, binning.tile_start, binning.tile_end)
+    accs, Ts = jax.vmap(render_tile)(tiles, tile_start, tile_end)
     # accs [T, C, P] -> [C, H, W]
     out = _tiles_to_image(accs, ntx, nty, tile_size, img_h, img_w)
     T_img = _tiles_to_image(Ts[:, None], ntx, nty, tile_size, img_h, img_w)[0]
@@ -260,27 +262,27 @@ def _image_to_tiles(img, ntx, nty, ts):
     return x.reshape(nty * ntx, C, ts * ts)
 
 
-def _rasterize_fwd(xys, conics, opacities, colors, binning_and_valid,
-                   img_h, img_w, tile_size, max_pairs_per_tile, chunk):
+def _rasterize_fwd(xys, conics, opacities, colors, binning_arrays,
+                   img_h, img_w, tile_size, max_pairs_per_tile, chunk,
+                   ntx, nty):
     out, T_final = _rasterize_fwd_impl(
-        xys, conics, opacities, colors, binning_and_valid,
-        img_h, img_w, tile_size, max_pairs_per_tile, chunk,
+        xys, conics, opacities, colors, binning_arrays,
+        img_h, img_w, tile_size, max_pairs_per_tile, chunk, ntx, nty,
     )
-    res = (xys, conics, opacities, colors, binning_and_valid, T_final)
+    res = (xys, conics, opacities, colors, binning_arrays, T_final)
     return (out, T_final), res
 
 
 def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
-                   res, grads):
-    xys, conics, opacities, colors, binning_and_valid, T_final = res
+                   ntx, nty, res, grads):
+    xys, conics, opacities, colors, binning_arrays, T_final = res
     dL_dout, dL_dT = grads
-    binning, valid = binning_and_valid
-    ntx, nty = binning.num_tiles_x, binning.num_tiles_y
+    sorted_prim, tile_start, tile_end, valid = binning_arrays
     P = tile_size * tile_size
     C = colors.shape[-1]
     nchunks = max_pairs_per_tile // chunk
     pix_local = _tile_pixels(tile_size, ntx)
-    budget = binning.sorted_prim.shape[0]
+    budget = sorted_prim.shape[0]
     N = xys.shape[0]
 
     dout_tiles = _image_to_tiles(dL_dout, ntx, nty, tile_size)      # [T, C, P]
@@ -298,7 +300,7 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
             ci = nchunks - 1 - ci_rev
             idxs = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
             m = idxs < end
-            gi = binning.sorted_prim[jnp.clip(idxs, 0, budget - 1)]
+            gi = sorted_prim[jnp.clip(idxs, 0, budget - 1)]
             alpha, (d, sigma, raw, keep) = _chunk_alpha(
                 gi, m, xys, conics, opacities, valid, pix
             )
@@ -354,17 +356,16 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
 
     tiles = jnp.arange(ntx * nty, dtype=jnp.int32)
     pair_grads = jax.vmap(grad_tile)(
-        tiles, binning.tile_start, binning.tile_end, dout_tiles, dT_tiles,
-        Tf_tiles,
+        tiles, tile_start, tile_end, dout_tiles, dT_tiles, Tf_tiles,
     )  # [T, maxpp, 6+C]
 
     # scatter pair grads back to gaussians
     maxpp = max_pairs_per_tile
     local = jnp.arange(maxpp, dtype=jnp.int32)[None]
-    pair_pos = binning.tile_start[:, None] + local                  # [T, maxpp]
-    pair_ok = pair_pos < binning.tile_end[:, None]
+    pair_pos = tile_start[:, None] + local                          # [T, maxpp]
+    pair_ok = pair_pos < tile_end[:, None]
     pair_pos = jnp.clip(pair_pos, 0, budget - 1)
-    gi = binning.sorted_prim[pair_pos]                              # [T, maxpp]
+    gi = sorted_prim[pair_pos]                                      # [T, maxpp]
     gi = jnp.where(pair_ok, gi, N)                                  # drop
     flat_gi = gi.reshape(-1)
     flat_g = pair_grads.reshape(-1, pair_grads.shape[-1])
@@ -447,8 +448,9 @@ def render(
         )
         out, T_final = rasterize_tiled(
             xys, conics, op_s, chan,
-            (binning, valid),
+            (binning.sorted_prim, binning.tile_start, binning.tile_end, valid),
             cam_img_h, cam_img_w, tile_size, max_pairs_per_tile, chunk,
+            ntx, nty,
         )
         # un-sort radii for the caller
         radii_orig = jnp.zeros_like(radii).at[order].set(radii)

@@ -91,7 +91,9 @@ def test_tiled_matches_reference(rng):
          jnp.floor((xys[:, 1] + radii) / ts) + 1], -1).astype(jnp.int32)
     binning = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty, 64)
     out, T = gsplat.rasterize_tiled(
-        xys, conics, op, col, (binning, valid), H, W, ts, 128, 16
+        xys, conics, op, col,
+        (binning.sorted_prim, binning.tile_start, binning.tile_end, valid),
+        H, W, ts, 128, 16, ntx, nty,
     )
     # tiled drops out-of-radius contributions (alpha cutoff handles this:
     # outside 3 sigma alpha < 1/255 is skipped by the reference too)
@@ -119,7 +121,9 @@ def test_tiled_gradients_match_reference(rng):
 
     def loss_tiled(xys_, conics_, op_, col_):
         out, T = gsplat.rasterize_tiled(
-            xys_, conics_, op_, col_, (binning, valid), H, W, ts, 128, 16
+            xys_, conics_, op_, col_,
+            (binning.sorted_prim, binning.tile_start, binning.tile_end, valid),
+            H, W, ts, 128, 16, ntx, nty,
         )
         return jnp.sum(out * wimg) + jnp.sum(T * wT)
 
