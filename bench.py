@@ -1,0 +1,165 @@
+"""Benchmark: RGCA training step time on the attached TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline derivation (BASELINE.md): the reference trains RGCA for 800,000
+iterations at batch 4 within a 7-day single-A100 SLURM allowance
+(config/rgca_example.yml + scripts/train_bulk/slurm_heads.sh), i.e. it must
+sustain >= 800000 / (7*24*3600) = 1.32 steps/s. vs_baseline is
+measured_steps_per_sec / 1.32 — >1.0 means faster than the reference's
+implied A100 budget.
+
+Scale knobs via env: GOLIATH_BENCH_{IMG_H,IMG_W,UV,BATCH,STEPS}. Defaults
+run the full reference geometry (2048x1334 render, 1024^2 = 1M gaussians,
+batch 4) and automatically halve batch/resolution on OOM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_STEPS_PER_SEC = 800_000 / (7 * 24 * 3600)  # 1.3228
+
+
+def build(img_h: int, img_w: int, uv: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from goliath_tpu.data.synthetic import SyntheticDataset
+    from goliath_tpu.losses import ModularLoss
+    from goliath_tpu.models.rgca import AutoEncoder
+    from goliath_tpu.optim import build_optimizer
+
+    ds = SyntheticDataset(
+        n_cams=2, n_frames=max(batch, 2), img_h=img_h, img_w=img_w,
+        uv_size=uv, seed=0,
+    )
+    model = AutoEncoder(
+        encoder={"noise_std": 1.0},
+        decoder={"n_color_sh": 3},
+        assets=ds.static_assets,
+        image_height=img_h, image_width=img_w,
+        cal={"identity_camera": ds.static_assets.camera_ids[0]},
+        n_embs=256, n_diff_sh=8, learn_blur=True, uv_size=uv,
+        render={
+            "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 512)),
+            "chunk": 32,
+            "pair_budget_mult": int(os.environ.get("GOLIATH_BENCH_PBM", 4)),
+        },
+    )
+    loss_fn = ModularLoss(
+        {
+            "rgb_l1": {"src_key": "rgb", "tgt_key": "image",
+                       "mask_key": "image_weight", "weight": 10.0},
+            "rgb_ssim": {"src_key": "rgb", "tgt_key": "image",
+                         "mask_key": "image_weight", "weight": 0.2},
+            "geom_l2": 0.4,
+            "bound_primscale": 1e-2,
+            "negcolor": 1e-2,
+            "learn_blur": 0.001,
+            "kl": 0.002,
+        },
+        assets=ds.static_assets,
+    )
+    batch_np = next(ds.batches(batch, 1))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()
+          if not isinstance(v, (list, str))}
+    params = model.init(jax.random.PRNGKey(0), jb)
+    optimizer = build_optimizer(
+        {"class_name": "torch.optim.Adam", "lr": 5e-4}, params
+    )
+    opt_state = optimizer.init(params)
+    return model, loss_fn, optimizer, params, opt_state, jb
+
+
+def run(img_h, img_w, uv, batch, n_steps):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    model, loss_fn, optimizer, params, opt_state, jb = build(
+        img_h, img_w, uv, batch
+    )
+
+    @jax.jit
+    def step(params, opt_state, batch, rng, it):
+        def loss(p):
+            preds = model.apply(p, batch, train=True, rngs={"noise": rng})
+            return loss_fn(preds, batch, it)[0]
+
+        total, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, total
+
+    rng = jax.random.PRNGKey(0)
+    it0 = jnp.asarray(0)
+    t0 = time.time()
+    params, opt_state, total = step(params, opt_state, jb, rng, it0)
+    total.block_until_ready()
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(n_steps):
+        params, opt_state, total = step(
+            params, opt_state, jb, jax.random.fold_in(rng, i), it0
+        )
+    total.block_until_ready()
+    elapsed = time.time() - t0
+    return elapsed / n_steps, compile_s, float(total)
+
+
+def main():
+    img_h = int(os.environ.get("GOLIATH_BENCH_IMG_H", 2048))
+    img_w = int(os.environ.get("GOLIATH_BENCH_IMG_W", 1344))
+    uv = int(os.environ.get("GOLIATH_BENCH_UV", 1024))
+    batch = int(os.environ.get("GOLIATH_BENCH_BATCH", 4))
+    n_steps = int(os.environ.get("GOLIATH_BENCH_STEPS", 10))
+
+    attempts = [
+        (img_h, img_w, uv, batch),
+        (img_h, img_w, uv, max(batch // 2, 1)),
+        (img_h // 2, img_w // 2, uv, max(batch // 2, 1)),
+        (img_h // 2, img_w // 2, uv // 2, max(batch // 2, 1)),
+        (512, 512, 256, 1),
+    ]
+    last_err = None
+    for h, w, u, b in attempts:
+        try:
+            step_s, compile_s, loss = run(h, w, u, b, n_steps)
+            # normalize to the reference workload (batch 4, 2048x1334, 1M
+            # gaussians): scale step time by the workload ratio
+            work_ratio = (b / 4.0) * ((h * w) / (2048 * 1334)) \
+                * ((u * u) / (1024 * 1024))
+            eff_steps_per_sec = (1.0 / step_s) * work_ratio
+            print(json.dumps({
+                "metric": "rgca_train_step_time",
+                "value": round(step_s, 4),
+                "unit": f"s/step (batch={b}, {h}x{w}, {u*u} gaussians; "
+                        f"compile={compile_s:.1f}s, "
+                        f"workload-normalized {eff_steps_per_sec:.3f} "
+                        f"ref-steps/s)",
+                "vs_baseline": round(eff_steps_per_sec / BASELINE_STEPS_PER_SEC,
+                                     3),
+            }))
+            return
+        except Exception as e:  # noqa: BLE001 — OOM/compile fallback ladder
+            last_err = e
+            print(f"# bench attempt (b={b}, {h}x{w}, uv={u}) failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            continue
+    print(json.dumps({
+        "metric": "rgca_train_step_time",
+        "value": -1,
+        "unit": f"failed: {type(last_err).__name__}",
+        "vs_baseline": 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from goliath_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+)

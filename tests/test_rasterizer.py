@@ -1,0 +1,107 @@
+"""Mesh rasterizer parity tests: tiled vs exact reference; interpolation;
+edge gradients move vertices the right way."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goliath_tpu.data.synthetic import make_camera_ring, make_sphere_mesh
+from goliath_tpu.ops import rasterizer as ras
+
+
+def _scene(H=48, W=64):
+    v, vi, vt, vti = make_sphere_mesh(6, 8, radius=100.0)
+    K, Rt, campos = make_camera_ring(1, H, W)
+    v_pix = ras.transform(
+        jnp.asarray(v[None]), jnp.asarray(K), jnp.asarray(Rt)
+    )[0]
+    return v, vi, vt, vti, K, Rt, v_pix
+
+
+def test_rasterize_matches_reference():
+    H, W = 48, 64
+    v, vi, vt, vti, K, Rt, v_pix = _scene(H, W)
+    ref = ras.rasterize_reference(v_pix, jnp.asarray(vi), H, W)
+    out = ras.rasterize(v_pix, jnp.asarray(vi), H, W,
+                        max_faces_per_tile=128, chunk=16)
+    ref_np = np.asarray(ref)
+    out_np = np.asarray(out)
+    # coverage identical; indices may differ only on exact-tie edges
+    assert ((ref_np == -1) == (out_np == -1)).mean() > 0.999
+    covered = (ref_np != -1) & (out_np != -1)
+    assert (ref_np[covered] == out_np[covered]).mean() > 0.995
+    assert covered.mean() > 0.1  # sphere visible
+
+
+def test_barycentric_interpolation_reconstructs_positions():
+    H, W = 48, 64
+    v, vi, vt, vti, K, Rt, v_pix = _scene(H, W)
+    index_img = ras.rasterize(v_pix, jnp.asarray(vi), H, W,
+                              max_faces_per_tile=128, chunk=16)
+    depth, bary = ras.render_barys(v_pix, jnp.asarray(vi), index_img)
+    # interpolating screen xy should reproduce pixel centers
+    xy = ras.interpolate(v_pix[:, :2], jnp.asarray(vi), index_img, bary)
+    mask = np.asarray(index_img) != -1
+    py, px = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    err_x = np.abs(np.asarray(xy)[0][mask] - px[mask])
+    err_y = np.abs(np.asarray(xy)[1][mask] - py[mask])
+    assert err_x.max() < 1e-2 and err_y.max() < 1e-2
+    # depth should be within the mesh's z range
+    d = np.asarray(depth)[mask]
+    zr = np.asarray(v_pix[:, 2])
+    assert d.min() > zr.min() - 1 and d.max() < zr.max() + 1
+
+
+def test_render_layer_and_edge_grad():
+    H, W = 48, 48
+    v, vi, vt, vti, K, Rt, _ = _scene(H, W)
+    rl = ras.RenderLayer(H, W, vi, vt, vti,
+                         max_faces_per_tile=128, chunk=16)
+    tex = jnp.asarray(
+        np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+    )
+    verts = jnp.asarray(v[None])
+    out = rl(verts, tex, jnp.asarray(K), jnp.asarray(Rt))
+    assert out["render"].shape == (1, 3, H, W)
+    assert float(out["mask"].mean()) > 0.1
+
+    # gradient flows to vertices through bary + edge-grad paths
+    def loss(verts_, tex_):
+        o = rl(verts_, tex_, jnp.asarray(K), jnp.asarray(Rt))
+        return jnp.sum(o["render"] ** 2) + jnp.sum(o["depth_img"])
+
+    gv, gt = jax.grad(loss, argnums=(0, 1))(verts, tex)
+    assert bool(jnp.isfinite(gv).all()) and float(jnp.abs(gv).sum()) > 0
+    assert bool(jnp.isfinite(gt).all()) and float(jnp.abs(gt).sum()) > 0
+
+
+def test_edge_grad_direction():
+    """Moving a white quad right should increase sum(img * ramp) where the
+    ramp weights right pixels higher — the edge gradient must say so."""
+    H = W = 32
+    v = np.asarray(
+        [[-0.3, -0.3, 2.0], [0.3, -0.3, 2.0], [0.3, 0.3, 2.0],
+         [-0.3, 0.3, 2.0]], np.float32
+    )
+    vi = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    vt = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    K = np.asarray([[[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]]], np.float32)
+    Rt = np.concatenate([np.eye(3), np.zeros((3, 1))], 1)[None].astype(
+        np.float32
+    )
+    rl = ras.RenderLayer(H, W, vi, vt, vi, max_faces_per_tile=64, chunk=16)
+    tex = jnp.ones((1, 3, 8, 8), jnp.float32)
+
+    ramp = jnp.asarray(
+        np.linspace(0, 1, W, dtype=np.float32)[None, None, None, :]
+    )
+
+    def loss(verts_):
+        o = rl(verts_, tex, jnp.asarray(K), jnp.asarray(Rt))
+        return jnp.sum(o["render"] * ramp)
+
+    g = jax.grad(loss)(jnp.asarray(v[None]))
+    # moving +x increases coverage of high-ramp pixels on the right edge and
+    # uncovers low-ramp pixels on the left -> net positive dL/dx
+    assert float(g[0, :, 0].sum()) > 0
