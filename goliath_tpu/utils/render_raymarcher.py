@@ -1,0 +1,64 @@
+"""Raymarcher facade over the TPU MVP raymarcher
+(reference: ca_code/utils/render_raymarcher.py:17-72).
+
+Normalizes prim positions by volradius, dispatches the tile-culled march
+(ops/mvp.py), returns NCHW rgb/alpha. `valid_prims` masking is handled by
+zeroing invalid prims' alphas (static shapes) rather than slicing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from goliath_tpu.ops.mvp import mvp_raymarch_tiled
+
+
+class Raymarcher:
+    def __init__(self, volradius: float, dt: float = 1.0, **march_kwargs):
+        self.volume_radius = volradius
+        self.dt = dt / volradius
+        self.march_kwargs = march_kwargs
+
+    def __call__(
+        self,
+        raypos: jnp.ndarray,     # [B, H, W, 3] (normalized volume frame)
+        raydir: jnp.ndarray,     # [B, H, W, 3]
+        tminmax: jnp.ndarray,    # [B, H, W, 2]
+        decout: Dict[str, jnp.ndarray],
+        K: jnp.ndarray,          # [B, 3, 3] for tile culling
+        Rt: jnp.ndarray,         # [B, 3, 4]
+        renderoptions: Optional[Dict] = None,
+        with_shadow: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        primpos = decout["primpos"] / self.volume_radius
+        primrot = decout["primrot"]
+        primscale = decout["primscale"]
+        template = decout["primrgba"]  # [B, K, 4, TD, TH, TW]
+
+        if decout.get("valid_prims", None) is not None:
+            vp = decout["valid_prims"].astype(template.dtype)  # [K]
+            template = template.at[:, :, 3].multiply(
+                vp[None, :, None, None, None]
+            )
+
+        # the culling camera works in the normalized frame: scale
+        # translation by 1/volradius (rotation/intrinsics unchanged)
+        Rt_n = Rt.at[:, :3, 3].divide(self.volume_radius)
+
+        def one(rp, rd, tm, pp, pr, ps, tpl, K_b, Rt_b):
+            return mvp_raymarch_tiled(
+                rp, rd, self.dt, tm, pp, pr, ps, tpl, K_b, Rt_b,
+                **self.march_kwargs,
+            )
+
+        rgba = jax.vmap(one)(
+            raypos, raydir, tminmax, primpos, primrot, primscale, template,
+            K, Rt_n,
+        )  # [B, H, W, 4]
+        rayrgba = rgba.transpose(0, 3, 1, 2)
+        rayrgb = rayrgba[:, :3]
+        rayalpha = rayrgba[:, 3:4]
+        return rayrgb, rayalpha, rayrgba, None

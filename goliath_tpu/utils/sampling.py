@@ -109,6 +109,52 @@ def interpolate_bilinear(
     return top * (1 - wy[:, None]) + bot * wy[:, None]
 
 
+def grid_sample_3d(
+    vol: jnp.ndarray,
+    coords: jnp.ndarray,
+    padding_mode: Literal["zeros", "border"] = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Trilinear sample vol [C, D, H, W] at coords [..., 3] (x, y, z) in
+    [-1, 1] -> [C, ...]. Matches torch grid_sample 3D semantics."""
+    C, D, H, W = vol.shape
+    x = _unnormalize(coords[..., 0], W, align_corners)
+    y = _unnormalize(coords[..., 1], H, align_corners)
+    z = _unnormalize(coords[..., 2], D, align_corners)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    wx = (x - x0).astype(vol.dtype)
+    wy = (y - y0).astype(vol.dtype)
+    wz = (z - z0).astype(vol.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    flat = vol.reshape(C, -1)
+    out = jnp.zeros((C,) + coords.shape[:-1], dtype=vol.dtype)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi, yi, zi = x0i + dx, y0i + dy, z0i + dz
+                w = ((wx if dx else 1 - wx) * (wy if dy else 1 - wy)
+                     * (wz if dz else 1 - wz))
+                if padding_mode == "zeros":
+                    vmask = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                             & (zi >= 0) & (zi < D))
+                    w = w * vmask.astype(vol.dtype)
+                xi = jnp.clip(xi, 0, W - 1)
+                yi = jnp.clip(yi, 0, H - 1)
+                zi = jnp.clip(zi, 0, D - 1)
+                idx = (zi * H + yi) * W + xi
+                vals = flat[:, idx.reshape(-1)].reshape(
+                    (C,) + coords.shape[:-1]
+                )
+                out = out + vals * w[None]
+    return out
+
+
 def avg_pool2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Average pool [B, C, H, W] with stride == kernel == k."""
     B, C, H, W = x.shape

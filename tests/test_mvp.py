@@ -1,0 +1,119 @@
+"""MVP raymarcher parity tests: tiled vs all-prims oracle, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goliath_tpu.ops import mvp
+from goliath_tpu.ops.raygen import compute_raydirs, make_pixelcoords
+
+
+def _scene(rng, K=12, TD=4):
+    primpos = (rng.rand(K, 3).astype(np.float32) - 0.5) * 1.2
+    # random rotations
+    from goliath_tpu.utils.quaternion import quat_to_matrix
+
+    q = rng.randn(K, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    primrot = np.asarray(quat_to_matrix(jnp.asarray(q)))
+    primscale = (2.0 + 3.0 * rng.rand(K, 3)).astype(np.float32)
+    template = rng.rand(K, 4, TD, TD, TD).astype(np.float32)
+    template[:, 3] *= 30.0  # enough alpha to saturate some rays
+    return primpos, primrot, primscale, template
+
+
+def _rays(H=32, W=32):
+    viewpos = np.asarray([[0.0, 0.0, -3.0]], np.float32)
+    viewrot = np.eye(3, dtype=np.float32)[None]
+    focal = np.asarray([[30.0, 30.0]], np.float32)
+    princpt = np.asarray([[W / 2, H / 2]], np.float32)
+    pix = make_pixelcoords(1, H, W)
+    rp, rd, tminmax = compute_raydirs(
+        jnp.asarray(viewpos), jnp.asarray(viewrot), jnp.asarray(focal),
+        jnp.asarray(princpt), pix, volradius=1.0,
+    )
+    K_cam = np.asarray(
+        [[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32
+    )
+    Rt = np.concatenate([viewrot[0], -viewrot[0] @ viewpos[0][:, None]], 1)
+    return rp[0], rd[0], tminmax[0], K_cam, Rt.astype(np.float32)
+
+
+def test_tiled_matches_oracle(rng):
+    primpos, primrot, primscale, template = _scene(rng)
+    rp, rd, tminmax, K_cam, Rt = _rays()
+    H, W = rp.shape[:2]
+    stepsize = 0.05
+    max_steps = 100
+
+    ref = mvp.march_reference(
+        rp.reshape(-1, 3), rd.reshape(-1, 3), stepsize,
+        tminmax.reshape(-1, 2),
+        jnp.asarray(primpos), jnp.asarray(primrot), jnp.asarray(primscale),
+        jnp.asarray(template), max_steps,
+    ).reshape(H, W, 4)
+
+    out = mvp.mvp_raymarch_tiled(
+        rp, rd, stepsize, tminmax,
+        jnp.asarray(primpos), jnp.asarray(primrot), jnp.asarray(primscale),
+        jnp.asarray(template), jnp.asarray(K_cam), jnp.asarray(Rt),
+        max_steps=max_steps, max_prims_per_tile=16, chunk=8,
+    )
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    assert np.abs(ref_np[..., 3] - out_np[..., 3]).max() < 2e-3
+    np.testing.assert_allclose(out_np, ref_np, atol=5e-3)
+    assert ref_np[..., 3].max() > 0.5  # scene visible
+
+
+def test_tiled_gradients(rng):
+    primpos, primrot, primscale, template = _scene(rng, K=6)
+    rp, rd, tminmax, K_cam, Rt = _rays(16, 16)
+    stepsize = 0.1
+    w = jnp.asarray(rng.rand(16, 16, 4).astype(np.float32))
+
+    def loss_tiled(pp, ps, tpl):
+        out = mvp.mvp_raymarch_tiled(
+            rp, rd, stepsize, tminmax, pp, jnp.asarray(primrot), ps, tpl,
+            jnp.asarray(K_cam), jnp.asarray(Rt),
+            max_steps=60, max_prims_per_tile=8, chunk=4,
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(pp, ps, tpl):
+        out = mvp.march_reference(
+            rp.reshape(-1, 3), rd.reshape(-1, 3), stepsize,
+            tminmax.reshape(-1, 2), pp, jnp.asarray(primrot), ps, tpl, 60,
+        ).reshape(16, 16, 4)
+        return jnp.sum(out * w)
+
+    args = (jnp.asarray(primpos), jnp.asarray(primscale),
+            jnp.asarray(template))
+    gt = jax.grad(loss_tiled, argnums=(0, 1, 2))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(["primpos", "primscale", "template"], gt, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_raymarcher_facade(rng):
+    from goliath_tpu.utils.render_raymarcher import Raymarcher
+
+    primpos, primrot, primscale, template = _scene(rng, K=8)
+    rp, rd, tminmax, K_cam, Rt = _rays(16, 16)
+    rm = Raymarcher(volradius=1.0, dt=0.1, max_steps=60,
+                    max_prims_per_tile=8, chunk=4)
+    decout = {
+        "primpos": jnp.asarray(primpos[None]),
+        "primrot": jnp.asarray(primrot[None]),
+        "primscale": jnp.asarray(primscale[None]),
+        "primrgba": jnp.asarray(template[None]),
+    }
+    rgb, alpha, rgba, shadow = rm(
+        rp[None], rd[None], tminmax[None], decout,
+        jnp.asarray(K_cam[None]), jnp.asarray(Rt[None]),
+    )
+    assert rgb.shape == (1, 3, 16, 16)
+    assert alpha.shape == (1, 1, 16, 16)
+    assert float(alpha.max()) > 0.3
