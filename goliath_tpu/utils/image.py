@@ -100,6 +100,19 @@ def smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
+def gaussian_blur_np(x: np.ndarray, ksize: int) -> np.ndarray:
+    """Host-side gaussian blur [B, C, H, W] matching torchvision's
+    default sigma = 0.3*((k-1)*0.5 - 1) + 0.8."""
+    from scipy import ndimage
+
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    out = np.empty_like(x)
+    for b in range(x.shape[0]):
+        for c in range(x.shape[1]):
+            out[b, c] = ndimage.gaussian_filter(x[b, c], sigma, truncate=ksize / (2 * sigma))
+    return out
+
+
 def morph_erode_np(x: np.ndarray, ks: int) -> np.ndarray:
     """numpy erosion for host-side mask prep."""
     from scipy import ndimage  # lazy; only host paths need it
