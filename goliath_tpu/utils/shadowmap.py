@@ -1,0 +1,104 @@
+"""Raster shadow maps (reference: ca_code/utils/shadowmap.py:17-96).
+
+Renders depth from a light's viewpoint with the TPU mesh rasterizer, then
+projects shaded points (a UV position map) into the light view and compares
+depths with a 3x3 gaussian-weighted soft test; optional sigmoid backface
+culling.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from goliath_tpu.ops.rasterizer import RenderLayer, rasterize, render_barys, \
+    transform
+from goliath_tpu.utils.geom import project_points_multi
+from goliath_tpu.utils.sampling import grid_sample
+
+
+def get_shadow_map(
+    rl: RenderLayer,
+    Rt: jnp.ndarray,        # [B, 3, 4] light view
+    K_unused: Optional[jnp.ndarray],
+    verts: jnp.ndarray,     # [B, V, 3]
+    postex: jnp.ndarray,    # [B, 3, H, W] shaded-point position map
+    nml: Optional[jnp.ndarray] = None,  # [B, 3, H, W] normals (backface cull)
+) -> jnp.ndarray:
+    """Returns in-shadow depth-difference map [B, 1, H, W] (>=0)."""
+    B, _, H, W = postex.shape
+    focal = 1000.0
+    K = jnp.zeros((B, 3, 3), postex.dtype)
+    K = K.at[:, 0, 0].set(focal).at[:, 1, 1].set(focal)
+    K = K.at[:, 0, 2].set(rl.w / 2).at[:, 1, 2].set(rl.h / 2)
+    K = K.at[:, 2, 2].set(1.0)
+
+    # auto-fit focal so the mesh fits the shadow frame (reference :33-35)
+    v_pix, _ = project_points_multi(verts, Rt[:, None], K[:, None])
+    v_pix = v_pix[:, 0]
+    center = jnp.asarray([rl.w, rl.h], postex.dtype) / 2
+    pix_ratio = 1.02 * (v_pix[..., :2] - center[None, None]) / center[None, None]
+    fit = focal / jnp.clip(jnp.max(jnp.abs(pix_ratio), axis=(1, 2)), min=1e-6)
+    K = K.at[:, 0, 0].set(fit).at[:, 1, 1].set(fit)
+
+    points = postex.transpose(0, 2, 3, 1).reshape(B, -1, 3)
+    p_pix, p_cam = project_points_multi(points, Rt[:, None], K[:, None])
+    p_pix = p_pix[:, 0]
+    p_cam = p_cam[:, 0]
+
+    # depth render from the light
+    v_pix_l = transform(verts, K, Rt)
+    index_img = jax.vmap(
+        lambda vp: rasterize(vp, rl.vi, rl.h, rl.w, **rl.raster_kwargs)
+    )(v_pix_l)
+    depth_img, _ = jax.vmap(
+        lambda vp, ii: render_barys(vp, rl.vi, ii)
+    )(v_pix_l, index_img)
+    depth = depth_img[:, None]  # [B, 1, h, w]
+
+    v_depth_1 = p_cam.reshape(B, H, W, 1).transpose(0, 3, 1, 2)
+    vp = p_pix.reshape(B, H, W, 2)
+    vx = (vp[..., 0] - depth.shape[3] / 2.0 - 0.5) / (depth.shape[3] / 2.0)
+    vy = (vp[..., 1] - depth.shape[2] / 2.0 - 0.5) / (depth.shape[2] / 2.0)
+    v_pix_n = jnp.stack([vx, vy], -1)
+
+    if nml is not None:
+        light_pos = -jnp.einsum("bji,bj->bi", Rt[:, :3, :3], Rt[:, :3, 3])
+        v_dir = light_pos[:, :, None, None] - postex
+        v_dir = v_dir / jnp.clip(
+            jnp.linalg.norm(v_dir, axis=1, keepdims=True), min=1e-12)
+        nv_dot = jnp.sum(nml * v_dir, axis=1, keepdims=True)
+        bcull = jax.nn.sigmoid(10.0 * nv_dot)
+
+    kernel = 3
+    sigma = 0.3 * ((kernel - 1) * 0.5 - 1) + 0.8
+    dx = 2.0 / depth.shape[-1]
+    dy = 2.0 / depth.shape[-2]
+    valid_sum = 0.0
+    shadow_sum = 0.0
+    dmask = (depth > 0.0).astype(postex.dtype)
+    for x in range(kernel):
+        for y in range(kernel):
+            weight = math.exp(
+                -((x - kernel // 2) ** 2 + (y - kernel // 2) ** 2)
+                / (2.0 * sigma**2)
+            )
+            off = jnp.asarray([dx * (x - kernel // 2), dy * (y - kernel // 2)],
+                              postex.dtype)
+            g = v_pix_n + off[None, None, None]
+            d = grid_sample(depth, g, mode="nearest", align_corners=False)
+            w = grid_sample(dmask, g, mode="nearest", align_corners=False)
+            v_depth_2 = d / (w + 1e-8)
+            valid = weight * (w > 1e-4).astype(postex.dtype)
+            valid_sum = valid_sum + valid
+            shadow_sum = shadow_sum + valid * jnp.clip(
+                v_depth_1 - v_depth_2, min=0.0
+            )
+
+    in_shadow = shadow_sum / (valid_sum + 1e-6)
+    if nml is not None:
+        in_shadow = bcull * in_shadow + (1.0 - bcull) * 1e3
+    return in_shadow
