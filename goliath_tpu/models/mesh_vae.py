@@ -492,8 +492,9 @@ def _default_masks(assets: Any, uv_size: int, init_uv_size: int,
     pose_cond_mask = pose_cond * (
         1 - head_cond.reshape(1, 1, *head_cond.shape[-2:])
     )
-    face_cond = get("face_cond_mask",
-                    np.zeros((init_uv_size, init_uv_size), np.float32))
+    face_default = np.zeros((init_uv_size, init_uv_size), np.float32)
+    face_default[init_uv_size // 2:, : init_uv_size // 2] = 1.0  # face quadrant
+    face_cond = get("face_cond_mask", face_default)
     body_cond = get("body_cond_mask",
                     np.ones((init_uv_size, init_uv_size), np.float32))
     ao_mean = get("ambient_occlusion_mean",

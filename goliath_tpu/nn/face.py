@@ -25,7 +25,7 @@ class FaceDecoderFrontal(nn.Module):
     n_latent: int = 256
     n_vert_out: int = 3 * 7306
     tex_out_shp: Tuple[int, int] = (1024, 1024)
-    tex_roi: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (1024, 1024))
+    tex_roi: Any = None  # defaults to ((0,0), tex_out_shp)
 
     @nn.compact
     def __call__(self, face_embs: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -39,20 +39,29 @@ class FaceDecoderFrontal(nn.Module):
         geomout = LinearWN(256, self.n_vert_out, name="geommod")(encout)
         viewout = leaky_relu(LinearWN(3, 8, name="viewmod")(view))
         encview = jnp.concatenate([encout, viewout], axis=1)
-        h = leaky_relu(LinearWN(256 + 8, 256 * 4 * 4, name="texmod2")(encview))
+        h = leaky_relu(LinearWN(256 + 8, 256 * 4 * 4, name="texfc")(encview))
         h = h.reshape(-1, 256, 4, 4)
-        chans = [
-            (256, 256, 8), (256, 128, 16), (128, 128, 32), (128, 64, 64),
-            (64, 64, 128), (64, 32, 256), (32, 8, 512),
-        ]
-        for i, (cin, cout, size) in enumerate(chans):
-            h = ConvTranspose2dWNUB(cin, cout, size, size, 4, 2, 1,
-                                    name=f"texmod{i}")(h)
+        # conv-transpose pyramid 4 -> tex_out (reference channels at 1024)
+        import math as _math
+
+        out_size = self.tex_out_shp[0]
+        full = [256, 256, 128, 128, 64, 64, 32, 8]  # input widths at 1024
+        n_ups = int(_math.log2(out_size // 4))
+        widths = full[-(n_ups - 1):] if n_ups > 1 else []
+        widths = [256] + list(widths[1:]) if len(widths) else []
+        size = 4
+        cin = 256
+        for i, w in enumerate(widths):
+            size *= 2
+            h = ConvTranspose2dWNUB(cin, w, size, size, 4, 2, 1,
+                                    name=f"texmod_up{i}")(h)
             h = leaky_relu(h)
-        texout = ConvTranspose2dWNUB(8, 3, 1024, 1024, 4, 2, 1, alpha=1.0,
-                                     name="texmod_out")(h)
-        roi_h = self.tex_roi[1][0] - self.tex_roi[0][0]
-        roi_w = self.tex_roi[1][1] - self.tex_roi[0][1]
+            cin = w
+        texout = ConvTranspose2dWNUB(cin, 3, out_size, out_size, 4, 2, 1,
+                                     alpha=1.0, name="texmod_out")(h)
+        tex_roi = self.tex_roi or ((0, 0), self.tex_out_shp)
+        roi_h = tex_roi[1][0] - tex_roi[0][0]
+        roi_w = tex_roi[1][1] - tex_roi[0][1]
         bias = self.param("bias", nn.initializers.zeros, (3, roi_h, roi_w))
         out = {
             "face_geom": geomout.reshape(B, -1, 3),
