@@ -116,7 +116,7 @@ def envmap_to_mirrorball(w: int, h: int, env: jnp.ndarray,
         ref = jnp.einsum("bxy,bhwx->bhwy", camrot, ref)
     uv = dir2uv(ref, dim=-1)
     ball = grid_sample(env, uv, padding_mode="border", align_corners=True)
-    return jnp.concatenate([ball, mask[:, None]], axis=1)
+    return jnp.concatenate([ball, mask], axis=1)
 
 
 def importance_sample_sg(
@@ -178,12 +178,16 @@ def prefilter_envmap_sg(
 
 
 def compose_envmap(render, alpha, envbg, K, Rt):
-    """Composite a render over the envmap bg + mirrorball inset (:325-344)."""
-    env_mirror = envmap_to_mirrorball(200, 200, envbg, Rt[:, :3, :3])
+    """Composite a render over the envmap bg + mirrorball inset (:325-344).
+
+    The inset is 200px like the reference, shrunk to fit small renders.
+    """
+    ms = min(200, render.shape[-1], render.shape[-2])
+    env_mirror = envmap_to_mirrorball(ms, ms, envbg, Rt[:, :3, :3])
     mirror_img = jnp.zeros_like(render)
     mirror_alpha = jnp.zeros_like(alpha)
-    mirror_alpha = mirror_alpha.at[:, :, -200:, -200:].set(env_mirror[:, 3:])
-    mirror_img = mirror_img.at[:, :, -200:, -200:].set(env_mirror[:, :3])
+    mirror_alpha = mirror_alpha.at[:, :, -ms:, -ms:].set(env_mirror[:, 3:])
+    mirror_img = mirror_img.at[:, :, -ms:, -ms:].set(env_mirror[:, :3])
 
     bg = envmap_to_image(
         render.shape[-1], render.shape[-2], envbg, K[:, :2, 2], K, Rt[:, :3, :3]

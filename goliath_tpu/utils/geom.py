@@ -480,3 +480,78 @@ class GeometryModule:
     def from_uv(self, values_uv: jnp.ndarray) -> jnp.ndarray:
         return sample_uv(values_uv, jnp.asarray(self.vt),
                          jnp.asarray(self.v2uv))
+
+
+# ---------------------------------------------------------------------------
+# view-texture unprojection (reference geom.py:797-909)
+# ---------------------------------------------------------------------------
+
+
+def compute_face_visibility(index_img: jnp.ndarray, n_faces: int) -> jnp.ndarray:
+    """[B, H, W] rasterized face ids -> [B, F] visibility (scatter-max)."""
+    B = index_img.shape[0]
+    flat = index_img.reshape(B, -1)
+    valid = (flat != -1).astype(jnp.float32)
+    fi = jnp.clip(flat, 0, n_faces - 1)
+    mask = jnp.zeros((B, n_faces))
+    mask = mask.at[jnp.arange(B)[:, None], fi].max(valid)
+    return mask > 0
+
+
+def compute_uv_visibility_face(face_index_image: jnp.ndarray,
+                               n_faces: int,
+                               face_index_uv: jnp.ndarray) -> jnp.ndarray:
+    """Per-texel visibility from per-pixel rasterized face ids."""
+    face_mask = compute_face_visibility(face_index_image, n_faces)  # [B, F]
+    fi = jnp.clip(face_index_uv, 0, n_faces - 1)
+    vis = face_mask[:, fi]  # [B, H, W]
+    return vis & (face_index_uv != -1)[None]
+
+
+def compute_view_texture(
+    verts: jnp.ndarray,            # [B, V, 3]
+    faces: jnp.ndarray,            # [F, 3]
+    image: jnp.ndarray,            # [B, 3, H, W]
+    face_index_image: jnp.ndarray,  # [B, H, W] rasterized face ids
+    normal_image,                   # unused (parity with reference)
+    K: jnp.ndarray,                 # [B, 3, 3]
+    Rt: jnp.ndarray,                # [B, 3, 4]
+    index_image_uv: jnp.ndarray,    # [T, T, 3]
+    bary_image_uv: jnp.ndarray,     # [T, T, 3]
+    face_index_uv: jnp.ndarray,     # [T, T]
+    intensity_threshold=None,
+    normal_threshold=None,
+):
+    """Unproject a camera image into UV space with face-visibility masking.
+
+    Returns (tex [B, 3, T, T], visibility [B, 1, T, T]).
+    """
+    from goliath_tpu.utils.sampling import grid_sample
+
+    B = verts.shape[0]
+    T = index_image_uv.shape[0]
+    H, W = image.shape[2:4]
+
+    uv_mask = index_image_uv[..., 0] != -1
+    idx = jnp.clip(index_image_uv, 0, verts.shape[1] - 1)  # [T, T, 3]
+    xyz_w = jnp.sum(
+        verts[:, idx] * bary_image_uv[None, ..., None], axis=3
+    )  # [B, T, T, 3]
+    v_pix, _ = project_points(
+        xyz_w.reshape(B, -1, 3), Rt, K
+    )
+    yxs = 2.0 * jnp.stack(
+        [v_pix[..., 0] / W, v_pix[..., 1] / H], axis=-1) - 1.0
+    verts_rgb = grid_sample(
+        image, yxs.reshape(B, T, T, 2), mode="nearest",
+        align_corners=False, padding_mode="border",
+    )  # [B, 3, T, T]
+    tex = verts_rgb * uv_mask[None, None]
+
+    visibility = compute_uv_visibility_face(
+        face_index_image, faces.shape[0], face_index_uv
+    )
+    tex = tex * visibility[:, None]
+    if intensity_threshold:
+        tex = tex * jnp.all(tex <= intensity_threshold, axis=1, keepdims=True)
+    return tex, visibility[:, None]
