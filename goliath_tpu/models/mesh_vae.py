@@ -542,6 +542,8 @@ class AutoEncoder(ModelFacade):
     ):
         self.assets = assets
         self.cameras = list(assets.camera_ids)
+        decoder = dict(decoder)
+        uv_size = int(decoder.get("uv_size", uv_size))
         tex_size = tex_size or uv_size * 2
 
         self.geo_fn = GeometryModule(
@@ -584,7 +586,6 @@ class AutoEncoder(ModelFacade):
             ))
         self.tex_std = float(assets.get("tex_var", 64.0))
 
-        decoder = dict(decoder)
         init_uv_size = int(decoder.get("init_uv_size", 64))
         decoder["uv_size"] = uv_size
         n_pose_local = int(decoder["n_pose_dims"])
@@ -593,12 +594,14 @@ class AutoEncoder(ModelFacade):
 
         rl = None
         if renderer is not None:
+            rl_keys = ("tile_size", "max_tiles_per_face",
+                       "max_faces_per_tile", "chunk", "pair_budget_mult",
+                       "z_near")
             rl = RenderLayer(
                 h=int(renderer["image_height"]), w=int(renderer["image_width"]),
                 vi=self.geo_fn.vi, vt=self.geo_fn.vt, vti=self.geo_fn.vti,
                 flip_uvs=False,
-                **{k: v for k, v in renderer.items()
-                   if k not in ("image_height", "image_width")},
+                **{k: v for k, v in renderer.items() if k in rl_keys},
             )
 
         cal_cfg = None

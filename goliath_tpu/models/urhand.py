@@ -622,12 +622,14 @@ class AutoEncoder(ModelFacade):
 
         rl = None
         if renderer is not None:
+            rl_keys = ("tile_size", "max_tiles_per_face",
+                       "max_faces_per_tile", "chunk", "pair_budget_mult",
+                       "z_near")
             rl = RenderLayer(
                 h=int(renderer["image_height"]), w=int(renderer["image_width"]),
                 vi=self.geo_fn.vi, vt=self.geo_fn.vt, vti=self.geo_fn.vti,
                 flip_uvs=False,
-                **{k: v for k, v in renderer.items()
-                   if k not in ("image_height", "image_width")},
+                **{k: v for k, v in renderer.items() if k in rl_keys},
             )
 
         cal_cfg = None
@@ -637,6 +639,7 @@ class AutoEncoder(ModelFacade):
             cal_cfg["identity_camera"] = str(cal_cfg["identity_camera"])
         self.cal_enabled = cal is not None
 
+        relight.pop("masked_refiner_input", None)  # implied by impaint_uv
         relight.setdefault("init_uv_size", 64)
         relight.setdefault("pose_enc_dims", 64)
         relight.setdefault("disp_enc_dims", (64, 64, 64, 64, 64, 64))
