@@ -100,8 +100,12 @@ def _compositor_kernel(
         keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & m
         alpha = jnp.where(keep, alpha, 0.0)
 
+        # cumprod has no Pallas TPU lowering; accumulate the exclusive
+        # transmittance with a log-space cumsum (alpha < 0.999 keeps the
+        # log finite)
         one_m = 1.0 - alpha
-        cum = jnp.cumprod(one_m, axis=0)
+        log_cum = jnp.cumsum(jnp.log(one_m), axis=0)
+        cum = jnp.exp(log_cum)
         T_excl = T * cum / one_m                      # [CH, P]
         w = alpha * T_excl
         cols = data[:, 8:8 + n_chan]                  # [CH, C]
