@@ -28,6 +28,9 @@ class TileBinning(NamedTuple):
     sorted_prim: jnp.ndarray   # [budget] prim index per pair (depth order/tile)
     tile_start: jnp.ndarray    # [num_tiles]
     tile_end: jnp.ndarray      # [num_tiles]
+    inv_perm: jnp.ndarray      # [budget] pre-sort slot -> sorted position
+    prim_offsets: jnp.ndarray  # [N] first pre-sort slot of each prim
+    prim_ends: jnp.ndarray     # [N] one-past-last pre-sort slot of each prim
     num_tiles_x: int
     num_tiles_y: int
 
@@ -69,29 +72,36 @@ def bin_to_tiles(
     h = jnp.minimum(h, kspan)
 
     counts = jnp.where(valid, w * h, 0)  # [N]
-    offsets = jnp.cumsum(counts) - counts  # exclusive
+    ends = jnp.cumsum(counts)            # inclusive
+    offsets = ends - counts              # exclusive
 
-    # expand: entry k of prim n covers tile (x0 + k%w, y0 + k//w)
-    k = jnp.arange(K, dtype=jnp.int32)[None, :]  # [1, K]
-    wk = jnp.maximum(w[:, None], 1)
-    tx = x0[:, None] + k % wk
-    ty = y0[:, None] + k // wk
-    tile_id = (ty * num_tiles_x + tx).astype(jnp.int32)  # [N, K]
-    entry_valid = (k < counts[:, None])
-    dst = jnp.where(entry_valid, offsets[:, None] + k, pair_budget)  # drop OOB
-
-    keys = jnp.full((pair_budget,), num_tiles, dtype=jnp.int32)
-    vals = jnp.zeros((pair_budget,), dtype=jnp.int32)
-    keys = keys.at[dst.reshape(-1)].set(
-        jnp.where(entry_valid, tile_id, num_tiles).reshape(-1), mode="drop"
+    # Scatter-free pair expansion: TPU scatters serialize, so instead of
+    # scattering (tile, prim) entries to their offsets, each SLOT of the
+    # pair buffer looks up its owning prim with a vectorized binary search
+    # (slot s belongs to the prim whose [offset, end) range contains s).
+    slots = jnp.arange(pair_budget, dtype=jnp.int32)
+    prim_of_slot = jnp.searchsorted(ends, slots, side="right").astype(
+        jnp.int32
+    )  # [budget]; == N for slots past the last pair
+    in_range = prim_of_slot < N
+    p = jnp.clip(prim_of_slot, 0, N - 1)
+    k = slots - offsets[p]
+    wk = jnp.maximum(w[p], 1)
+    tx = x0[p] + k % wk
+    ty = y0[p] + k // wk
+    keys = jnp.where(
+        in_range, (ty * num_tiles_x + tx).astype(jnp.int32), num_tiles
     )
-    prim_ids = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, K)
-    )
-    vals = vals.at[dst.reshape(-1)].set(prim_ids.reshape(-1), mode="drop")
+    vals = jnp.where(in_range, p, 0).astype(jnp.int32)
 
-    # stable sort by tile id keeps depth order within a tile
-    keys_sorted, vals_sorted = jax.lax.sort_key_val(keys, vals, is_stable=True)
+    # stable sort by tile id keeps depth order within a tile; carry the
+    # originating slot so the permutation can be inverted scatter-free
+    # (backward reductions walk pairs in pre-sort, prim-contiguous order)
+    keys_sorted, perm = jax.lax.sort((keys, slots), num_keys=1,
+                                     is_stable=True)
+    vals_sorted = vals[perm]
+    # invert the permutation with a second sort (no scatter)
+    _, inv_perm = jax.lax.sort((perm, slots), num_keys=1, is_stable=True)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(keys_sorted, tile_ids, side="left").astype(
@@ -100,4 +110,6 @@ def bin_to_tiles(
     tile_end = jnp.searchsorted(keys_sorted, tile_ids, side="right").astype(
         jnp.int32
     )
-    return TileBinning(vals_sorted, tile_start, tile_end, num_tiles_x, num_tiles_y)
+    return TileBinning(vals_sorted, tile_start, tile_end, inv_perm,
+                       offsets.astype(jnp.int32), ends.astype(jnp.int32),
+                       num_tiles_x, num_tiles_y)

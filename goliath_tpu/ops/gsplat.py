@@ -53,56 +53,87 @@ def project_gaussians(
     global_scale: float = 1.0,
     blur: float = 0.3,
 ) -> Dict[str, jnp.ndarray]:
+    # All math below is written channel-wise (no [N, 3, 3] matmuls): XLA on
+    # TPU pads tiny trailing dims to (8, 128) tiles, so batched 3x3 algebra
+    # wastes >100x FLOPs; explicit components stay pure VPU work.
     R_wc = Rt[:3, :3]
     t_wc = Rt[:3, 3]
-    p_cam = means3d @ R_wc.T + t_wc
-    z = p_cam[:, 2]
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    px = R_wc[0, 0] * mx + R_wc[0, 1] * my + R_wc[0, 2] * mz + t_wc[0]
+    py = R_wc[1, 0] * mx + R_wc[1, 1] * my + R_wc[1, 2] * mz + t_wc[1]
+    z = R_wc[2, 0] * mx + R_wc[2, 1] * my + R_wc[2, 2] * mz + t_wc[2]
     depths = z
 
-    Rq = quat_to_matrix(quats)                      # [N, 3, 3]
-    M = Rq * (scales * global_scale)[:, None, :]    # columns scaled
-    cov3d = M @ M.transpose(0, 2, 1)
+    # rotation matrix entries from the quaternion (x, y, z, w)
+    qx, qy, qz, qw = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s0 = (scales[:, 0] * global_scale) ** 2
+    s1 = (scales[:, 1] * global_scale) ** 2
+    s2 = (scales[:, 2] * global_scale) ** 2
+    # cov3d = R diag(s^2) R^T, 6 unique entries
+    c00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    c01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    c02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    c11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    c12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    c22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
 
     zc = jnp.clip(z, min=1e-6)
     # limit the EWA Jacobian evaluation point like gsplat (tan fov * 1.3)
     lim_x = 1.3 * (0.5 * img_w / fx)
     lim_y = 1.3 * (0.5 * img_h / fy)
-    tx = zc * jnp.clip(p_cam[:, 0] / zc, -lim_x, lim_x)
-    ty = zc * jnp.clip(p_cam[:, 1] / zc, -lim_y, lim_y)
-    O = jnp.zeros_like(zc)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / zc, O, -fx * tx / zc**2], -1),
-            jnp.stack([O, fy / zc, -fy * ty / zc**2], -1),
-        ],
-        axis=-2,
-    )  # [N, 2, 3]
-    T = J @ R_wc[None]                               # [N, 2, 3]
-    cov2d = T @ cov3d @ T.transpose(0, 2, 1)         # [N, 2, 2]
+    tx = zc * jnp.clip(px / zc, -lim_x, lim_x)
+    ty = zc * jnp.clip(py / zc, -lim_y, lim_y)
+    # rows of T = J @ R_wc, J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]]
+    j00 = fx / zc
+    j02 = -fx * tx / zc**2
+    j11 = fy / zc
+    j12 = -fy * ty / zc**2
+    t0x = j00 * R_wc[0, 0] + j02 * R_wc[2, 0]
+    t0y = j00 * R_wc[0, 1] + j02 * R_wc[2, 1]
+    t0z = j00 * R_wc[0, 2] + j02 * R_wc[2, 2]
+    t1x = j11 * R_wc[1, 0] + j12 * R_wc[2, 0]
+    t1y = j11 * R_wc[1, 1] + j12 * R_wc[2, 1]
+    t1z = j11 * R_wc[1, 2] + j12 * R_wc[2, 2]
+    # cov2d = T cov3d T^T
+    u0x = t0x * c00 + t0y * c01 + t0z * c02
+    u0y = t0x * c01 + t0y * c11 + t0z * c12
+    u0z = t0x * c02 + t0y * c12 + t0z * c22
+    u1x = t1x * c00 + t1y * c01 + t1z * c02
+    u1y = t1x * c01 + t1y * c11 + t1z * c12
+    u1z = t1x * c02 + t1y * c12 + t1z * c22
+    v00 = u0x * t0x + u0y * t0y + u0z * t0z
+    v01 = u0x * t1x + u0y * t1y + u0z * t1z
+    v11 = u1x * t1x + u1y * t1y + u1z * t1z
 
-    det_raw = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2
-    cov2d = cov2d + blur * jnp.eye(2)[None]
-    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2
-    compensation = jnp.sqrt(jnp.clip(det_raw / jnp.clip(det, min=1e-12), min=0.0))
+    det_raw = v00 * v11 - v01 * v01
+    v00 = v00 + blur
+    v11 = v11 + blur
+    det = v00 * v11 - v01 * v01
+    compensation = jnp.sqrt(jnp.clip(det_raw / jnp.clip(det, min=1e-12),
+                                     min=0.0))
 
     inv_det = 1.0 / jnp.clip(det, min=1e-12)
-    conics = jnp.stack(
-        [cov2d[:, 1, 1] * inv_det, -cov2d[:, 0, 1] * inv_det,
-         cov2d[:, 0, 0] * inv_det],
-        axis=-1,
-    )  # (a, b, c) of the inverse covariance
+    conics = jnp.stack([v11 * inv_det, -v01 * inv_det, v00 * inv_det], -1)
 
     # 3-sigma radius from the larger eigenvalue
-    b_ = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    b_ = 0.5 * (v00 + v11)
     v1 = b_ + jnp.sqrt(jnp.clip(b_**2 - det, min=0.1))
     radii = jnp.ceil(3.0 * jnp.sqrt(jnp.clip(v1, min=0.0)))
 
-    xys = jnp.stack(
-        [fx * p_cam[:, 0] / zc + cx, fy * p_cam[:, 1] / zc + cy], axis=-1
-    )
+    xys = jnp.stack([fx * px / zc + cx, fy * py / zc + cy], axis=-1)
 
     valid = (z > z_near) & (det > 0)
     radii = jnp.where(valid, radii, 0.0)
+    cov3d = jnp.stack([c00, c01, c02, c11, c12, c22], -1)
     return dict(
         xys=xys, depths=depths, radii=radii, conics=conics,
         compensation=compensation, valid=valid, cov3d=cov3d,
@@ -191,9 +222,10 @@ def rasterize_tiled(
     img_h: int, img_w: int, tile_size: int, max_pairs_per_tile: int,
     chunk: int, ntx: int, nty: int,
 ):
-    """binning_arrays: (sorted_prim, tile_start, tile_end, valid) — arrays
-    only; static tile-grid dims travel as nondiff args so they stay Python
-    ints under jit (custom_vjp lifts every pytree leaf to a tracer)."""
+    """binning_arrays: (sorted_prim, tile_start, tile_end, valid,
+    inv_perm, prim_offsets, prim_ends) — arrays only; static tile-grid dims
+    travel as nondiff args so they stay Python ints under jit (custom_vjp
+    lifts every pytree leaf to a tracer)."""
     out, T_final = _rasterize_fwd_impl(
         xys, conics, opacities, colors, binning_arrays,
         img_h, img_w, tile_size, max_pairs_per_tile, chunk, ntx, nty,
@@ -205,7 +237,7 @@ def _rasterize_fwd_impl(
     xys, conics, opacities, colors, binning_arrays,
     img_h, img_w, tile_size, max_pairs_per_tile, chunk, ntx, nty,
 ):
-    sorted_prim, tile_start, tile_end, valid = binning_arrays
+    sorted_prim, tile_start, tile_end, valid = binning_arrays[:4]
     P = tile_size * tile_size
     C = colors.shape[-1]
     nchunks = max_pairs_per_tile // chunk
@@ -277,7 +309,8 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
                    ntx, nty, res, grads):
     xys, conics, opacities, colors, binning_arrays, T_final = res
     dL_dout, dL_dT = grads
-    sorted_prim, tile_start, tile_end, valid = binning_arrays
+    (sorted_prim, tile_start, tile_end, valid,
+     inv_perm, prim_offsets, prim_ends) = binning_arrays
     P = tile_size * tile_size
     C = colors.shape[-1]
     nchunks = max_pairs_per_tile // chunk
@@ -359,18 +392,27 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
         tiles, tile_start, tile_end, dout_tiles, dT_tiles, Tf_tiles,
     )  # [T, maxpp, 6+C]
 
-    # scatter pair grads back to gaussians
+    # Reduce pair grads to gaussians WITHOUT scatter-add (TPU scatters
+    # serialize): (1) place each tile's grads into the sorted pair buffer —
+    # tile segments are disjoint so this is a unique-index set; (2) permute
+    # into pre-sort order where each prim's pairs are contiguous;
+    # (3) per-prim sums are prefix-sum differences (gathers only).
     maxpp = max_pairs_per_tile
+    F = pair_grads.shape[-1]
     local = jnp.arange(maxpp, dtype=jnp.int32)[None]
     pair_pos = tile_start[:, None] + local                          # [T, maxpp]
-    pair_ok = pair_pos < tile_end[:, None]
-    pair_pos = jnp.clip(pair_pos, 0, budget - 1)
-    gi = sorted_prim[pair_pos]                                      # [T, maxpp]
-    gi = jnp.where(pair_ok, gi, N)                                  # drop
-    flat_gi = gi.reshape(-1)
-    flat_g = pair_grads.reshape(-1, pair_grads.shape[-1])
-    acc = jnp.zeros((N, flat_g.shape[-1]))
-    acc = acc.at[flat_gi].add(flat_g, mode="drop")
+    pair_ok = (pair_pos < tile_end[:, None])
+    pair_pos = jnp.where(pair_ok, pair_pos, budget)
+    flat_g = jnp.where(pair_ok[..., None], pair_grads, 0.0).reshape(-1, F)
+    sorted_g = jnp.zeros((budget, F)).at[pair_pos.reshape(-1)].set(
+        flat_g, mode="drop", unique_indices=True)
+    presort_g = sorted_g[inv_perm]                                  # [budget, F]
+    csum = jnp.cumsum(presort_g.astype(jnp.float32), axis=0)
+    lo = jnp.where(prim_offsets > 0, prim_offsets - 1, 0)
+    start_vals = jnp.where((prim_offsets > 0)[:, None], csum[lo], 0.0)
+    end_idx = jnp.clip(prim_ends - 1, 0, budget - 1)
+    end_vals = jnp.where((prim_ends > 0)[:, None], csum[end_idx], 0.0)
+    acc = end_vals - start_vals                                     # [N, F]
 
     dxys = acc[:, 0:2]
     dconics = acc[:, 2:5]
@@ -448,7 +490,8 @@ def render(
         )
         out, T_final = rasterize_tiled(
             xys, conics, op_s, chan,
-            (binning.sorted_prim, binning.tile_start, binning.tile_end, valid),
+            (binning.sorted_prim, binning.tile_start, binning.tile_end, valid,
+             binning.inv_perm, binning.prim_offsets, binning.prim_ends),
             cam_img_h, cam_img_w, tile_size, max_pairs_per_tile, chunk,
             ntx, nty,
         )

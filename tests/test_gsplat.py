@@ -92,7 +92,8 @@ def test_tiled_matches_reference(rng):
     binning = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty, 64)
     out, T = gsplat.rasterize_tiled(
         xys, conics, op, col,
-        (binning.sorted_prim, binning.tile_start, binning.tile_end, valid),
+        (binning.sorted_prim, binning.tile_start, binning.tile_end, valid,
+         binning.inv_perm, binning.prim_offsets, binning.prim_ends),
         H, W, ts, 128, 16, ntx, nty,
     )
     # tiled drops out-of-radius contributions (alpha cutoff handles this:
@@ -122,7 +123,9 @@ def test_tiled_gradients_match_reference(rng):
     def loss_tiled(xys_, conics_, op_, col_):
         out, T = gsplat.rasterize_tiled(
             xys_, conics_, op_, col_,
-            (binning.sorted_prim, binning.tile_start, binning.tile_end, valid),
+            (binning.sorted_prim, binning.tile_start, binning.tile_end,
+             valid, binning.inv_perm, binning.prim_offsets,
+             binning.prim_ends),
             H, W, ts, 128, 16, ntx, nty,
         )
         return jnp.sum(out * wimg) + jnp.sum(T * wT)
