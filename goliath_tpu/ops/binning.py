@@ -80,15 +80,23 @@ def bin_to_tiles(
     # pair buffer looks up its owning prim with a vectorized binary search
     # (slot s belongs to the prim whose [offset, end) range contains s).
     slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    prim_of_slot = jnp.searchsorted(ends, slots, side="right").astype(
-        jnp.int32
-    )  # [budget]; == N for slots past the last pair
+    # method='sort' — the default 'scan' binary search is ~50x slower on TPU
+    prim_of_slot = jnp.searchsorted(
+        ends, slots, side="right", method="sort"
+    ).astype(jnp.int32)  # [budget]; == N for slots past the last pair
     in_range = prim_of_slot < N
     p = jnp.clip(prim_of_slot, 0, N - 1)
-    k = slots - offsets[p]
-    wk = jnp.maximum(w[p], 1)
-    tx = x0[p] + k % wk
-    ty = y0[p] + k // wk
+    # one row-gather instead of four random gathers (gathers on TPU are
+    # latency-bound, not bandwidth-bound)
+    table = jnp.stack(
+        [offsets.astype(jnp.int32), jnp.maximum(w, 1).astype(jnp.int32),
+         x0.astype(jnp.int32), y0.astype(jnp.int32)], axis=1,
+    )  # [N, 4]
+    rows = table[p]  # [budget, 4]
+    k = slots - rows[:, 0]
+    wk = rows[:, 1]
+    tx = rows[:, 2] + k % wk
+    ty = rows[:, 3] + k // wk
     keys = jnp.where(
         in_range, (ty * num_tiles_x + tx).astype(jnp.int32), num_tiles
     )

@@ -195,24 +195,33 @@ def _tile_pixels(tile_size: int, num_tiles_x: int) -> Tuple[jnp.ndarray, jnp.nda
     return jnp.stack([tx, ty], -1).reshape(-1, 2) + 0.5
 
 
-def _chunk_alpha(gi, m, xys, conics, opacities, valid, pix):
-    """alpha for a chunk of gaussians at tile pixels. gi [CH], pix [P, 2].
+def _pack_rows(xys, conics, opacities, colors, valid, sorted_prim):
+    """Pre-gather pair-ordered rows [budget, 6 + C] so the per-tile scan
+    reads CONTIGUOUS slices (random gathers on TPU are latency-bound; one
+    bulk gather here replaces ~16 per-chunk gathers)."""
+    N = xys.shape[0]
+    gi = jnp.clip(sorted_prim, 0, N - 1)
+    op = opacities.reshape(-1) * valid
+    rows = jnp.concatenate(
+        [xys, conics, op[:, None], colors], axis=1
+    )[gi]
+    return rows
+
+
+def _chunk_alpha_rows(data, m, pix):
+    """alpha for a chunk of pre-gathered rows [CH, 6+C] at pixels [P, 2].
 
     sigma is clamped to >= 0 before the exp so masked/invalid gaussians
     (garbage conics) can't overflow into inf/NaN in fwd or bwd.
     """
-    xy = xys[gi]                     # [CH, 2]
-    con = conics[gi]                 # [CH, 3]
-    op = opacities[gi].reshape(-1)   # [CH]
-    vl = valid[gi]
-    d = xy[:, None, :] - pix[None]   # [CH, P, 2]
-    a, b, c = con[:, 0:1], con[:, 1:2], con[:, 2:3]
+    d = data[:, None, 0:2] - pix[None]  # [CH, P, 2]
+    a, b, c = data[:, 2:3], data[:, 3:4], data[:, 4:5]
     sigma = 0.5 * (a * d[..., 0] ** 2 + c * d[..., 1] ** 2) \
         + b * d[..., 0] * d[..., 1]
     sigma_safe = jnp.clip(sigma, 0.0, 60.0)
-    raw = op[:, None] * jnp.exp(-sigma_safe)
+    raw = data[:, 5:6] * jnp.exp(-sigma_safe)
     alpha = jnp.minimum(ALPHA_CLIP, raw)
-    keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & vl[:, None] & m[:, None]
+    keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & m[:, None]
     return jnp.where(keep, alpha, 0.0), (d, sigma_safe, raw, keep)
 
 
@@ -242,7 +251,8 @@ def _rasterize_fwd_impl(
     C = colors.shape[-1]
     nchunks = max_pairs_per_tile // chunk
     pix_local = _tile_pixels(tile_size, ntx)  # [P, 2]
-    budget = sorted_prim.shape[0]
+    rows = _pack_rows(xys, conics, opacities, colors, valid, sorted_prim)
+    rows = jnp.pad(rows, ((0, max_pairs_per_tile), (0, 0)))
 
     def render_tile(tile_idx, start, end):
         tx = tile_idx % ntx
@@ -252,15 +262,15 @@ def _rasterize_fwd_impl(
 
         def step(carry, ci):
             T, acc = carry
-            idxs = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            m = idxs < end
-            gi = sorted_prim[jnp.clip(idxs, 0, budget - 1)]
-            alpha, _ = _chunk_alpha(gi, m, xys, conics, opacities, valid, pix)
+            base = start + ci * chunk
+            data = lax.dynamic_slice(rows, (base, 0), (chunk, 6 + C))
+            m = (base + jnp.arange(chunk, dtype=jnp.int32)) < end
+            alpha, _ = _chunk_alpha_rows(data, m, pix)
             one_m = 1.0 - alpha                      # [CH, P]
             cum = jnp.cumprod(one_m, axis=0)
             T_excl = T[None] * cum / one_m           # T before each element
             w = alpha * T_excl                       # [CH, P]
-            acc = acc + jnp.einsum("kp,kc->cp", w, colors[gi])
+            acc = acc + jnp.einsum("kp,kc->cp", w, data[:, 6:])
             T = T * cum[-1]
             return (T, acc), None
 
@@ -312,6 +322,8 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
     (sorted_prim, tile_start, tile_end, valid,
      inv_perm, prim_offsets, prim_ends) = binning_arrays
     P = tile_size * tile_size
+    rows = _pack_rows(xys, conics, opacities, colors, valid, sorted_prim)
+    rows = jnp.pad(rows, ((0, max_pairs_per_tile), (0, 0)))
     C = colors.shape[-1]
     nchunks = max_pairs_per_tile // chunk
     pix_local = _tile_pixels(tile_size, ntx)
@@ -331,13 +343,11 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
         def step(carry, ci_rev):
             T_run, S = carry  # T after remaining chunk(s); suffix color [C, P]
             ci = nchunks - 1 - ci_rev
-            idxs = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            m = idxs < end
-            gi = sorted_prim[jnp.clip(idxs, 0, budget - 1)]
-            alpha, (d, sigma, raw, keep) = _chunk_alpha(
-                gi, m, xys, conics, opacities, valid, pix
-            )
-            col = colors[gi]                          # [CH, C]
+            base = start + ci * chunk
+            data = lax.dynamic_slice(rows, (base, 0), (chunk, 6 + C))
+            m = (base + jnp.arange(chunk, dtype=jnp.int32)) < end
+            alpha, (d, sigma, raw, keep) = _chunk_alpha_rows(data, m, pix)
+            col = data[:, 6:]                         # [CH, C]
             one_m = 1.0 - alpha
             # suffix products including element i (within chunk)
             rev_cum = jnp.cumprod(one_m[::-1], axis=0)[::-1]   # [CH, P]
@@ -358,7 +368,6 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
             # d alpha / d raw: 1 where not clipped
             not_clipped = raw < ALPHA_CLIP
             draw = jnp.where(not_clipped, dalpha, 0.0)
-            op = opacities[gi].reshape(-1)
             dop = jnp.sum(draw * jnp.exp(-sigma) * keep, axis=1)       # [CH]
             dsigma = -raw * draw                                        # [CH, P]
             dsigma = jnp.where(keep, dsigma, 0.0)
@@ -367,7 +376,7 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
                 [jnp.sum(0.5 * d0 * d0 * dsigma, 1),
                  jnp.sum(d0 * d1 * dsigma, 1),
                  jnp.sum(0.5 * d1 * d1 * dsigma, 1)], axis=-1)          # [CH,3]
-            con = conics[gi]
+            con = data[:, 2:5]
             dxy = jnp.stack(
                 [jnp.sum((con[:, 0:1] * d0 + con[:, 1:2] * d1) * dsigma, 1),
                  jnp.sum((con[:, 1:2] * d0 + con[:, 2:3] * d1) * dsigma, 1)],

@@ -50,10 +50,9 @@ def _compositor_kernel(
 
     tx = (t % ntx) * tile_size
     ty = (t // ntx) * tile_size
-    px = (jax.lax.broadcasted_iota(jnp.float32, (1, P), 1) % tile_size
-          ) + 0.5 + tx
-    py = (jax.lax.broadcasted_iota(jnp.float32, (1, P), 1) // tile_size
-          ) + 0.5 + ty
+    pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
+    py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
 
     n_chunks = (end - start + chunk - 1) // chunk
 
@@ -100,11 +99,17 @@ def _compositor_kernel(
         keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & m
         alpha = jnp.where(keep, alpha, 0.0)
 
-        # cumprod has no Pallas TPU lowering; accumulate the exclusive
-        # transmittance with a log-space cumsum (alpha < 0.999 keeps the
-        # log finite)
+        # cumprod/cumsum have no Pallas TPU lowering; compute the inclusive
+        # log-space prefix product as a lower-triangular matmul on the MXU
+        # (alpha <= 0.999 keeps the log finite)
         one_m = 1.0 - alpha
-        log_cum = jnp.cumsum(jnp.log(one_m), axis=0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        colx = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        tri = (colx <= row).astype(jnp.float32)
+        log_cum = jax.lax.dot_general(
+            tri, jnp.log(one_m), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         cum = jnp.exp(log_cum)
         T_excl = T * cum / one_m                      # [CH, P]
         w = alpha * T_excl
