@@ -49,8 +49,9 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
         n_embs=256, n_diff_sh=8, learn_blur=True, uv_size=uv,
         render={
             "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 512)),
-            "chunk": 32,
+            "chunk": 64,
             "pair_budget_mult": int(os.environ.get("GOLIATH_BENCH_PBM", 4)),
+            "use_pallas": os.environ.get("GOLIATH_BENCH_PALLAS", "0") == "1",
         },
     )
     loss_fn = ModularLoss(
@@ -101,17 +102,36 @@ def run(img_h, img_w, uv, batch, n_steps):
     it0 = jnp.asarray(0)
     t0 = time.time()
     params, opt_state, total = step(params, opt_state, jb, rng, it0)
-    total.block_until_ready()
-    compile_s = time.time() - t0
+    _ = float(total)  # host fetch: block_until_ready can be a no-op over
+    compile_s = time.time() - t0  # the axon tunnel's async dispatch
 
     t0 = time.time()
     for i in range(n_steps):
         params, opt_state, total = step(
             params, opt_state, jb, jax.random.fold_in(rng, i), it0
         )
-    total.block_until_ready()
+    total_host = float(total)  # chained deps + host fetch = honest timing
     elapsed = time.time() - t0
-    return elapsed / n_steps, compile_s, float(total)
+    return elapsed / n_steps, compile_s, total_host
+
+
+def run_single(h, w, u, b, n_steps):
+    step_s, compile_s, loss = run(h, w, u, b, n_steps)
+    # normalize to the reference workload (batch 4, 2048x1334, 1M
+    # gaussians): scale step time by the workload ratio
+    work_ratio = (b / 4.0) * ((h * w) / (2048 * 1334)) \
+        * ((u * u) / (1024 * 1024))
+    eff_steps_per_sec = (1.0 / step_s) * work_ratio
+    print(json.dumps({
+        "metric": "rgca_train_step_time",
+        "value": round(step_s, 4),
+        "unit": f"s/step (batch={b}, {h}x{w}, {u*u} gaussians; "
+                f"compile={compile_s:.1f}s, "
+                f"workload-normalized {eff_steps_per_sec:.3f} "
+                f"ref-steps/s)",
+        "vs_baseline": round(eff_steps_per_sec / BASELINE_STEPS_PER_SEC,
+                             3),
+    }))
 
 
 def main():
@@ -128,35 +148,43 @@ def main():
         (img_h // 2, img_w // 2, uv // 2, max(batch // 2, 1)),
         (512, 512, 256, 1),
     ]
-    last_err = None
+    if os.environ.get("GOLIATH_BENCH_SINGLE") == "1":
+        run_single(img_h, img_w, uv, batch, n_steps)
+        return
+
+    # a failed attempt (OOM) can leave device memory pinned in this process,
+    # cascading OOM into every smaller rung — run each rung in a fresh
+    # subprocess instead
+    import subprocess
     for h, w, u, b in attempts:
+        env = dict(os.environ)
+        env.update({
+            "GOLIATH_BENCH_SINGLE": "1",
+            "GOLIATH_BENCH_IMG_H": str(h), "GOLIATH_BENCH_IMG_W": str(w),
+            "GOLIATH_BENCH_UV": str(u), "GOLIATH_BENCH_BATCH": str(b),
+            "GOLIATH_BENCH_STEPS": str(n_steps),
+        })
         try:
-            step_s, compile_s, loss = run(h, w, u, b, n_steps)
-            # normalize to the reference workload (batch 4, 2048x1334, 1M
-            # gaussians): scale step time by the workload ratio
-            work_ratio = (b / 4.0) * ((h * w) / (2048 * 1334)) \
-                * ((u * u) / (1024 * 1024))
-            eff_steps_per_sec = (1.0 / step_s) * work_ratio
-            print(json.dumps({
-                "metric": "rgca_train_step_time",
-                "value": round(step_s, 4),
-                "unit": f"s/step (batch={b}, {h}x{w}, {u*u} gaussians; "
-                        f"compile={compile_s:.1f}s, "
-                        f"workload-normalized {eff_steps_per_sec:.3f} "
-                        f"ref-steps/s)",
-                "vs_baseline": round(eff_steps_per_sec / BASELINE_STEPS_PER_SEC,
-                                     3),
-            }))
-            return
-        except Exception as e:  # noqa: BLE001 — OOM/compile fallback ladder
-            last_err = e
-            print(f"# bench attempt (b={b}, {h}x{w}, uv={u}) failed: "
-                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt (b={b}, {h}x{w}, uv={u}) timed out",
+                  file=sys.stderr)
             continue
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith('{"metric"')), None)
+        if r.returncode == 0 and line is not None:
+            print(line)
+            return
+        tail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+        print(f"# bench attempt (b={b}, {h}x{w}, uv={u}) failed: {tail[0][:200]}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "rgca_train_step_time",
         "value": -1,
-        "unit": f"failed: {type(last_err).__name__}",
+        "unit": "failed: all ladder rungs",
         "vs_baseline": 0.0,
     }))
 

@@ -315,6 +315,20 @@ def _rasterize_fwd(xys, conics, opacities, colors, binning_arrays,
     return (out, T_final), res
 
 
+def reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets, prim_ends):
+    """Reduce per-pair grads (sorted-pair order [budget, F]) to per-prim sums
+    [N, F] without scatter-add: permute into pre-sort order where each prim's
+    pairs are contiguous, then per-prim sums are prefix-sum differences."""
+    budget = sorted_g.shape[0]
+    presort_g = sorted_g[inv_perm]                                  # [budget, F]
+    csum = jnp.cumsum(presort_g.astype(jnp.float32), axis=0)
+    lo = jnp.where(prim_offsets > 0, prim_offsets - 1, 0)
+    start_vals = jnp.where((prim_offsets > 0)[:, None], csum[lo], 0.0)
+    end_idx = jnp.clip(prim_ends - 1, 0, budget - 1)
+    end_vals = jnp.where((prim_ends > 0)[:, None], csum[end_idx], 0.0)
+    return end_vals - start_vals                                    # [N, F]
+
+
 def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
                    ntx, nty, res, grads):
     xys, conics, opacities, colors, binning_arrays, T_final = res
@@ -415,13 +429,8 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
     flat_g = jnp.where(pair_ok[..., None], pair_grads, 0.0).reshape(-1, F)
     sorted_g = jnp.zeros((budget, F)).at[pair_pos.reshape(-1)].set(
         flat_g, mode="drop", unique_indices=True)
-    presort_g = sorted_g[inv_perm]                                  # [budget, F]
-    csum = jnp.cumsum(presort_g.astype(jnp.float32), axis=0)
-    lo = jnp.where(prim_offsets > 0, prim_offsets - 1, 0)
-    start_vals = jnp.where((prim_offsets > 0)[:, None], csum[lo], 0.0)
-    end_idx = jnp.clip(prim_ends - 1, 0, budget - 1)
-    end_vals = jnp.where((prim_ends > 0)[:, None], csum[end_idx], 0.0)
-    acc = end_vals - start_vals                                     # [N, F]
+    acc = reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets,
+                                   prim_ends)
 
     dxys = acc[:, 0:2]
     dconics = acc[:, 2:5]
@@ -455,8 +464,10 @@ def render(
     z_near: float = 0.1,
     max_tiles_per_prim: int = 64,
     max_pairs_per_tile: int = 512,
-    chunk: int = 32,
+    chunk: int = 64,
     pair_budget_mult: int = 4,
+    use_pallas: bool = False,
+    pallas_inner: int = 64,
 ) -> Dict[str, jnp.ndarray]:
     """Batched gaussian-splat render (reference render_gsplat.py:13-108).
 
@@ -497,20 +508,38 @@ def render(
             t_min, t_max, valid & (radii > 0), ntx, nty,
             max_tiles_per_prim, pair_budget_mult * N,
         )
-        out, T_final = rasterize_tiled(
-            xys, conics, op_s, chan,
-            (binning.sorted_prim, binning.tile_start, binning.tile_end, valid,
-             binning.inv_perm, binning.prim_offsets, binning.prim_ends),
-            cam_img_h, cam_img_w, tile_size, max_pairs_per_tile, chunk,
-            ntx, nty,
+        barrays = (
+            binning.sorted_prim, binning.tile_start, binning.tile_end, valid,
+            binning.inv_perm, binning.prim_offsets, binning.prim_ends,
         )
+        if use_pallas:
+            from goliath_tpu.ops.gsplat_pallas import rasterize_tiled_pl
+            out, T_final = rasterize_tiled_pl(
+                xys, conics, op_s, chan, barrays,
+                cam_img_h, cam_img_w, tile_size, max_pairs_per_tile, chunk,
+                pallas_inner, ntx, nty,
+            )
+        else:
+            out, T_final = rasterize_tiled(
+                xys, conics, op_s, chan, barrays,
+                cam_img_h, cam_img_w, tile_size, max_pairs_per_tile, chunk,
+                ntx, nty,
+            )
         # un-sort radii for the caller
         radii_orig = jnp.zeros_like(radii).at[order].set(radii)
         return out, T_final, radii_orig
 
-    out, T_final, radii = jax.vmap(one)(
-        K, Rt, primpos, primqvec, primscale, opacity, colors
-    )
+    if use_pallas:
+        # pallas_call has no batching rule for the prefetch grid spec; the
+        # batch is small (1-4) so unroll it (each call saturates the chip)
+        B = K.shape[0]
+        outs = [one(K[b], Rt[b], primpos[b], primqvec[b], primscale[b],
+                    opacity[b], colors[b]) for b in range(B)]
+        out, T_final, radii = (jnp.stack(x) for x in zip(*outs))
+    else:
+        out, T_final, radii = jax.vmap(one)(
+            K, Rt, primpos, primqvec, primscale, opacity, colors
+        )
     rgb = out[:, :3]
     alpha = (1.0 - T_final)[:, None]
     if bg_color is not None:

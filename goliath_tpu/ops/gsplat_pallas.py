@@ -1,28 +1,32 @@
 """Pallas TPU kernel for the gaussian-splat tile compositor.
 
-The XLA-scan compositor (ops/gsplat.py) computes a *fixed* chunk budget per
-tile and cannot terminate early. This kernel processes each 16px tile as one
-grid step, reading pair-ordered gaussian data (pre-gathered, so DMAs are
-contiguous), with:
+The XLA-scan compositor (ops/gsplat.py) streams every tile through a fixed
+chunk budget with no early-out and materializes [tiles, chunk, pixels]
+intermediates in HBM each step. This kernel keeps the running transmittance
+and color accumulators in VMEM scratch across grid steps and lets the Pallas
+pipeline prefetch pair rows via a scalar-prefetched index_map — no manual
+DMA (this environment's remote Mosaic compiler rejects `make_async_copy`).
 
-  * scalar-prefetched per-tile [start, end) bounds driving a dynamic
-    while_loop trip count (empty tiles cost ~nothing);
-  * early termination when every pixel's transmittance falls below the
-    saturation threshold (the gsplat CUDA kernel's T < 1e-4 break);
-  * the within-chunk ordering handled by a cumprod over the chunk axis.
+Grid = (tiles, nchunks): the chunk axis revisits the same output block, the
+canonical Pallas reduction pattern. Per-tile chunk indices come from the
+prefetched tile_start array: block j of tile t covers rows
+[align(start_t) + j*chunk, ...), masked against [start_t, end_t).
 
-The custom-VJP backward stays on the XLA path (ops/gsplat.py) — it is a
-re-march with scatter accumulation that XLA already pipelines well; fusing
-it into Pallas is a later optimization.
+The prefix transmittance inside a chunk is computed in log space with a
+lower-triangular matmul on the MXU (cumprod/cumsum have no Mosaic lowering).
 
-Data layout: pairs [budget, 8+C] rows = (x, y, a, b, c, opac, pad, pad,
-colors...) pre-gathered by `sorted_prim`, padded to a lane-friendly width.
+`rasterize_tiled_pl` is the full custom-VJP rasterizer: both the forward
+compositor and the backward per-pair gradient march run as Pallas kernels
+(the per-prim reduction reuses gsplat.reduce_sorted_pair_grads). The fwd
+early-out is made consistent with bwd via a per-tile processed-block count.
+Reference parity: gsplat/renderers CUDA fwd/bwd rasterization
+(reference gsplat rasterize kernels); the XLA path in ops/gsplat.py is the
+oracle.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -35,118 +39,115 @@ ALPHA_CLIP = 0.999
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 
+# set True to run the kernels in interpret mode (CPU tests)
+INTERPRET = False
+
 
 def _compositor_kernel(
-    start_ref, end_ref,            # scalar prefetch [T]
-    pairs_ref,                     # [budget_pad, F] in ANY/HBM
-    out_ref,                       # [1, F_out, P] block per tile
-    scratch_ref, sem_ref,          # VMEM scratch [2, CH, F], DMA sems
-    *, chunk: int, tile_size: int, ntx: int, n_chan: int, feat: int,
+    start_ref, end_ref,        # scalar prefetch [T]
+    rows_ref,                  # [chunk, F] VMEM block (auto-pipelined)
+    out_ref,                   # [1, C+1, P] block per tile
+    T_scr, acc_scr, cnt_scr,   # VMEM [1,P], [C,P]; SMEM [1] block cutoff
+    *, chunk: int, inner: int, tile_size: int, ntx: int, n_chan: int,
 ):
     t = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
     start = start_ref[t]
     end = end_ref[t]
     P = tile_size * tile_size
 
-    tx = (t % ntx) * tile_size
-    ty = (t // ntx) * tile_size
-    pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
-    py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
-
-    n_chunks = (end - start + chunk - 1) // chunk
-
-    def get_dma(slot, ci):
-        return pltpu.make_async_copy(
-            pairs_ref.at[pl.ds(start + ci * chunk, chunk)],
-            scratch_ref.at[slot],
-            sem_ref.at[slot],
-        )
-
-    @pl.when(n_chunks > 0)
+    @pl.when(j == 0)
     def _():
-        get_dma(0, 0).start()
+        T_scr[:] = jnp.ones((1, P), jnp.float32)
+        acc_scr[:] = jnp.zeros((n_chan, P), jnp.float32)
+        cnt_scr[0] = 0
 
-    def cond(state):
-        ci, T, _ = state
-        return (ci < n_chunks) & (jnp.max(T) > T_EPS)
+    base = (start // chunk + j) * chunk
+    have_work = (base < end) & (base + chunk > start) \
+        & (jnp.max(T_scr[:]) > T_EPS)
 
-    def body(state):
-        ci, T, acc = state
-        slot = ci % 2
+    @pl.when(have_work)
+    def _():
+        cnt_scr[0] = j + 1  # bwd replays exactly the blocks fwd composited
+        tx = (t % ntx) * tile_size
+        ty = (t // ntx) * tile_size
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
+        py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            get_dma((ci + 1) % 2, ci + 1).start()
+        # inner sub-chunks amortize the (small) per-grid-step DMA: the DMA
+        # block is `chunk` rows, the sequential compositing unit is `inner`
+        # rows so the triangular prefix matmul stays O(inner^2)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 1)
+        tri = (col_i <= row_i).astype(jnp.float32)
 
-        get_dma(slot, ci).wait()
-        data = scratch_ref[slot]                     # [CH, F]
-        m = (start + ci * chunk
-             + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)) < end
+        def sub(si, _):
+            off = si * inner
+            data = rows_ref[pl.ds(off, inner), :]     # [IN, F]
+            ridx = base + off + jax.lax.broadcasted_iota(
+                jnp.int32, (inner, 1), 0)
+            m = (ridx >= start) & (ridx < end)
 
-        xy_x = data[:, 0:1]
-        xy_y = data[:, 1:2]
-        ca = data[:, 2:3]
-        cb = data[:, 3:4]
-        cc = data[:, 4:5]
-        op = data[:, 5:6]
-        d0 = xy_x - px                                # [CH, P]
-        d1 = xy_y - py
-        sigma = 0.5 * (ca * d0 * d0 + cc * d1 * d1) + cb * d0 * d1
-        sigma_safe = jnp.clip(sigma, 0.0, 60.0)
-        raw = op * jnp.exp(-sigma_safe)
-        alpha = jnp.minimum(ALPHA_CLIP, raw)
-        keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & m
-        alpha = jnp.where(keep, alpha, 0.0)
+            d0 = data[:, 0:1] - px
+            d1 = data[:, 1:2] - py
+            a = data[:, 2:3]
+            b = data[:, 3:4]
+            c = data[:, 4:5]
+            sigma = 0.5 * (a * d0 * d0 + c * d1 * d1) + b * d0 * d1
+            raw = data[:, 5:6] * jnp.exp(-jnp.clip(sigma, 0.0, 60.0))
+            alpha = jnp.minimum(ALPHA_CLIP, raw)
+            keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & m
+            alpha = jnp.where(keep, alpha, 0.0)
 
-        # cumprod/cumsum have no Pallas TPU lowering; compute the inclusive
-        # log-space prefix product as a lower-triangular matmul on the MXU
-        # (alpha <= 0.999 keeps the log finite)
-        one_m = 1.0 - alpha
-        row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-        colx = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-        tri = (colx <= row).astype(jnp.float32)
-        log_cum = jax.lax.dot_general(
-            tri, jnp.log(one_m), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        cum = jnp.exp(log_cum)
-        T_excl = T * cum / one_m                      # [CH, P]
-        w = alpha * T_excl
-        cols = data[:, 8:8 + n_chan]                  # [CH, C]
-        acc = acc + jax.lax.dot_general(
-            cols, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                             # [C, P]
-        T = T * cum[-1:]
-        return ci + 1, T, acc
+            one_m = 1.0 - alpha
+            cum = jnp.exp(jax.lax.dot_general(
+                tri, jnp.log(one_m), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ))
+            T = T_scr[:]
+            T_excl = T * cum / one_m                   # [IN, P]
+            w = alpha * T_excl
+            cols = data[:, 8:8 + n_chan]               # [IN, C]
+            acc_scr[:] += jax.lax.dot_general(
+                cols, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            T_scr[:] = T * cum[inner - 1:inner]
+            return 0
 
-    T0 = jnp.ones((1, P), jnp.float32)
-    acc0 = jnp.zeros((n_chan, P), jnp.float32)
-    _, T, acc = lax.while_loop(cond, body, (0, T0, acc0))
-    out_ref[0, :n_chan] = acc
-    out_ref[0, n_chan:n_chan + 1] = T
+        lax.fori_loop(0, chunk // inner, sub, 0)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[0, :n_chan] = acc_scr[:]
+        out_ref[0, n_chan:n_chan + 1] = T_scr[:]
+        out_ref[0, n_chan + 1:n_chan + 2] = jnp.full(
+            (1, P), cnt_scr[0], jnp.float32)
 
 
 def rasterize_tiled_pallas_fwd(
-    xys: jnp.ndarray,       # [N, 2] depth-sorted
-    conics: jnp.ndarray,    # [N, 3]
+    xys: jnp.ndarray,        # [N, 2] depth-sorted
+    conics: jnp.ndarray,     # [N, 3]
     opacities: jnp.ndarray,  # [N, 1]
-    colors: jnp.ndarray,    # [N, C]
-    valid: jnp.ndarray,     # [N]
+    colors: jnp.ndarray,     # [N, C]
+    valid: jnp.ndarray,      # [N] float
     sorted_prim: jnp.ndarray,  # [budget]
     tile_start: jnp.ndarray,   # [T]
     tile_end: jnp.ndarray,     # [T]
     img_h: int, img_w: int, tile_size: int, ntx: int, nty: int,
-    chunk: int = 32,
+    chunk: int = 512,
+    inner: int = 64,
+    max_pairs_per_tile: int = 512,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-only Pallas compositor. Returns ([C, H, W], T [H, W])."""
     N, C = colors.shape
     budget = sorted_prim.shape[0]
     P = tile_size * tile_size
-    feat = 8 + C  # x, y, a, b, c, opac, pad, pad, colors
-    feat_pad = -(-feat // 8) * 8
+    feat = 8 + C
 
     gi = jnp.clip(sorted_prim, 0, N - 1)
     op = (opacities.reshape(-1) * valid)[gi][:, None]
@@ -154,27 +155,31 @@ def rasterize_tiled_pallas_fwd(
         [xys[gi], conics[gi], op,
          jnp.zeros((budget, 2), xys.dtype), colors[gi]], axis=1,
     )
-    rows = jnp.pad(rows, ((0, chunk), (0, feat_pad - rows.shape[1])))
+    rows = jnp.pad(rows, ((0, 2 * chunk), (0, 0)))
 
     T_tiles = ntx * nty
-    out_feat = C + 1
+    nchunks = max_pairs_per_tile // chunk + 1  # +1 for the alignment shift
+    out_feat = C + 2  # color rows, final T, processed-block cutoff
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        grid=(T_tiles, nchunks),
+        in_specs=[pl.BlockSpec(
+            (chunk, feat),
+            lambda t, j, start, end: (start[t] // chunk + j, 0),
+        )],
         out_specs=pl.BlockSpec(
-            (1, out_feat, P), lambda t, s, e: (t, 0, 0),
-            memory_space=pltpu.VMEM,
+            (1, out_feat, P), lambda t, j, start, end: (t, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, feat_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((C, P), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(
-        _compositor_kernel, chunk=chunk, tile_size=tile_size, ntx=ntx,
-        n_chan=C, feat=feat_pad,
+        _compositor_kernel, chunk=chunk, inner=inner, tile_size=tile_size,
+        ntx=ntx, n_chan=C,
     )
     out = pl.pallas_call(
         kernel,
@@ -189,4 +194,299 @@ def rasterize_tiled_pallas_fwd(
     T_img = out[:, C].reshape(nty, ntx, tile_size, tile_size)
     T_img = T_img.transpose(0, 2, 1, 3).reshape(
         nty * tile_size, ntx * tile_size)[:img_h, :img_w]
-    return img, T_img
+    cnt = out[:, C + 1, 0].astype(jnp.int32)  # [T_tiles]
+    return img, T_img, cnt
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+#
+# Mirrors gsplat._rasterize_bwd (re-march back-to-front from the saved final
+# transmittance). Grid = (tiles, nchunks) with the chunk axis REVERSED in the
+# index_map so chunks stream far-to-near; scratch carries the running
+# transmittance T and the scalar suffix term R = dout . S + dT * Tf per
+# pixel. Suffix prefix-sums inside a chunk are upper-triangular matmuls in
+# log space (cumsum/cumprod have no Mosaic lowering).
+#
+# Output is a PRIVATE per-(tile, chunk-block) buffer [T*nchunks, chunk, 16]
+# (aligned blocks of adjacent tiles can overlap in sorted-pair space, so
+# writing sorted order directly would clobber); a host-side gather maps it
+# back to sorted-pair order for the shared scatter-free per-prim reduction.
+
+_LOG_CLIP = 46.05  # log(1e20); matches clip(rev_cum, 1e-20) in the XLA bwd
+
+
+def _compositor_bwd_kernel(
+    start_ref, end_ref, cnt_ref,  # scalar prefetch [T]; cnt = fwd cutoff
+    rows_ref,                  # [chunk, F] pair rows (reversed chunk order)
+    g_ref,                     # [1, C+2, P]: dout rows, dT row, Tf row
+    out_ref,                   # [1, chunk, 16] pair grads for this block
+    T_scr, R_scr,              # VMEM scratch [1, P] each
+    *, chunk: int, inner: int, tile_size: int, ntx: int, n_chan: int,
+):
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    start = start_ref[t]
+    end = end_ref[t]
+    P = tile_size * tile_size
+    C = n_chan
+
+    dout = g_ref[0, :C]                      # [C, P]
+    dT = g_ref[0, C:C + 1]                   # [1, P]
+    Tf = g_ref[0, C + 1:C + 2]               # [1, P]
+
+    @pl.when(j == 0)
+    def _():
+        T_scr[:] = Tf
+        R_scr[:] = dT * Tf
+
+    nj = pl.num_programs(1)
+    jj = nj - 1 - j            # fwd block index (bwd streams far-to-near)
+    base = (start // chunk + jj) * chunk
+    # replay ONLY blocks the fwd composited: the fwd early-outs once T
+    # saturates, so unwinding T through skipped blocks would exponentially
+    # over-recover (grads for skipped pairs are exactly zero in fwd)
+    have_work = (base < end) & (base + chunk > start) & (jj < cnt_ref[t])
+
+    @pl.when(jnp.logical_not(have_work))
+    def _():
+        out_ref[0] = jnp.zeros((chunk, 16), jnp.float32)
+
+    @pl.when(have_work)
+    def _():
+        tx = (t % ntx) * tile_size
+        ty = (t // ntx) * tile_size
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
+        py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 1)
+        tri_inc = (col_i >= row_i).astype(jnp.float32)   # suffix incl. self
+        tri_exc = (col_i > row_i).astype(jnp.float32)    # strict suffix
+
+        def sub(si, _):
+            off = (chunk // inner - 1 - si) * inner      # far-to-near
+            data = rows_ref[pl.ds(off, inner), :]        # [IN, F]
+            ridx = base + off + jax.lax.broadcasted_iota(
+                jnp.int32, (inner, 1), 0)
+            m = (ridx >= start) & (ridx < end)
+
+            d0 = data[:, 0:1] - px                       # [IN, P]
+            d1 = data[:, 1:2] - py
+            a = data[:, 2:3]
+            b = data[:, 3:4]
+            c = data[:, 4:5]
+            sigma = 0.5 * (a * d0 * d0 + c * d1 * d1) + b * d0 * d1
+            sigma_safe = jnp.clip(sigma, 0.0, 60.0)
+            raw = data[:, 5:6] * jnp.exp(-sigma_safe)
+            alpha = jnp.minimum(ALPHA_CLIP, raw)
+            keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & m
+            alpha = jnp.where(keep, alpha, 0.0)
+            one_m = 1.0 - alpha
+            cols = data[:, 8:8 + C]                      # [IN, C]
+
+            lg = jnp.log(one_m)                          # <= 0
+            suff_inc = jax.lax.dot_general(
+                tri_inc, lg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # [IN, P]
+            T_i = T_scr[:] * jnp.exp(
+                jnp.minimum(-suff_inc, _LOG_CLIP))       # T before elem i
+            w = alpha * T_i                              # [IN, P]
+            q = jax.lax.dot_general(                     # dout . col_i
+                cols, dout, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # [IN, P]
+            wq = w * q
+            R_i = R_scr[:] + jax.lax.dot_general(        # suffix of wq
+                tri_exc, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # [IN, P]
+            inv_one_m = 1.0 / jnp.maximum(one_m, 1e-3)
+            dalpha = jnp.where(keep, q * T_i - R_i * inv_one_m, 0.0)
+            draw = jnp.where(raw < ALPHA_CLIP, dalpha, 0.0)
+            dop = jnp.sum(draw * jnp.exp(-sigma_safe) * keep,
+                          axis=1, keepdims=True)         # [IN, 1]
+            dsigma = jnp.where(keep, -raw * draw, 0.0)   # [IN, P]
+            ga = jnp.sum(0.5 * d0 * d0 * dsigma, axis=1, keepdims=True)
+            gb = jnp.sum(d0 * d1 * dsigma, axis=1, keepdims=True)
+            gc = jnp.sum(0.5 * d1 * d1 * dsigma, axis=1, keepdims=True)
+            gx = jnp.sum((a * d0 + b * d1) * dsigma, axis=1, keepdims=True)
+            gy = jnp.sum((b * d0 + c * d1) * dsigma, axis=1, keepdims=True)
+            dcol = jax.lax.dot_general(                  # [IN, C]
+                w, dout, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            out_ref[0, pl.ds(off, inner), :] = jnp.concatenate(
+                [gx, gy, ga, gb, gc, dop, dcol,
+                 jnp.zeros((inner, 16 - 6 - C), jnp.float32)], axis=1)
+
+            R_scr[:] += jnp.sum(wq, axis=0, keepdims=True)
+            T_scr[:] = T_scr[:] * jnp.exp(jnp.minimum(
+                -jnp.sum(lg, axis=0, keepdims=True), _LOG_CLIP))
+            return 0
+
+        lax.fori_loop(0, chunk // inner, sub, 0)
+
+
+def pair_grads_pallas(
+    xys, conics, opacities, colors, valid,
+    sorted_prim, tile_start, tile_end,
+    dL_dout,                   # [C, H, W]
+    dL_dT,                     # [H, W]
+    T_final,                   # [H, W]
+    cnt,                       # [T_tiles] fwd processed-block cutoff
+    img_h: int, img_w: int, tile_size: int, ntx: int, nty: int,
+    chunk: int = 512,
+    inner: int = 64,
+    max_pairs_per_tile: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-pair gradient rows in sorted-pair order [budget, 6+C]:
+    (dx, dy, d_conic(3), d_opacity, d_color(C))."""
+    N, C = colors.shape
+    budget = sorted_prim.shape[0]
+    P = tile_size * tile_size
+    feat = 8 + C
+
+    gi = jnp.clip(sorted_prim, 0, N - 1)
+    op = (opacities.reshape(-1) * valid)[gi][:, None]
+    rows = jnp.concatenate(
+        [xys[gi], conics[gi], op,
+         jnp.zeros((budget, 2), xys.dtype), colors[gi]], axis=1,
+    )
+    rows = jnp.pad(rows, ((0, 2 * chunk), (0, 0)))
+
+    # per-tile gradient/state planes packed as one [T, C+2, P] operand
+    pad_h = nty * tile_size - img_h
+    pad_w = ntx * tile_size - img_w
+    g = jnp.concatenate(
+        [dL_dout, dL_dT[None], T_final[None]], axis=0)   # [C+2, H, W]
+    g = jnp.pad(g, ((0, 0), (0, pad_h), (0, pad_w)))
+    g = g.reshape(C + 2, nty, tile_size, ntx, tile_size)
+    g = g.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, C + 2, P)
+
+    T_tiles = ntx * nty
+    nchunks = max_pairs_per_tile // chunk + 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T_tiles, nchunks),
+        in_specs=[
+            pl.BlockSpec(
+                (chunk, feat),
+                lambda t, j, start, end, cnt:
+                    (start[t] // chunk + (nchunks - 1 - j), 0),
+            ),
+            pl.BlockSpec((1, C + 2, P),
+                         lambda t, j, start, end, cnt: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, chunk, 16),
+            lambda t, j, start, end, cnt:
+                (t * nchunks + (nchunks - 1 - j), 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _compositor_bwd_kernel, chunk=chunk, inner=inner,
+        tile_size=tile_size, ntx=ntx, n_chan=C,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (T_tiles * nchunks, chunk, 16), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_end, cnt, rows, g)
+
+    # gather private per-tile blocks back into sorted-pair order
+    out_flat = out.reshape(T_tiles * nchunks * chunk, 16)
+    s = jnp.arange(budget, dtype=jnp.int32)
+    t_of = (jnp.searchsorted(tile_start, s, side="right", method="sort")
+            .astype(jnp.int32) - 1)
+    t_of = jnp.clip(t_of, 0, T_tiles - 1)
+    ok = (s >= tile_start[t_of]) & (s < tile_end[t_of])
+    align = (tile_start[t_of] // chunk) * chunk
+    idx = t_of * (nchunks * chunk) + (s - align)
+    idx = jnp.where(ok, idx, 0)
+    sorted_g = jnp.where(ok[:, None], out_flat[idx][:, :6 + C], 0.0)
+    return sorted_g
+
+
+# ---------------------------------------------------------------------------
+# full custom-VJP rasterizer (Pallas fwd + Pallas bwd)
+# ---------------------------------------------------------------------------
+
+import jax.experimental  # noqa: E402 (kept grouped with the vjp definition)
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def rasterize_tiled_pl(
+    xys, conics, opacities, colors, binning_arrays,
+    img_h: int, img_w: int, tile_size: int, max_pairs_per_tile: int,
+    chunk: int, inner: int, ntx: int, nty: int,
+):
+    """Drop-in Pallas variant of gsplat.rasterize_tiled (same binning
+    arrays / reduction; fwd and per-pair bwd run as TPU kernels)."""
+    sorted_prim, tile_start, tile_end, valid = binning_arrays[:4]
+    out, T_final, _cnt = rasterize_tiled_pallas_fwd(
+        xys, conics, opacities, colors, valid.astype(xys.dtype),
+        sorted_prim, tile_start, tile_end,
+        img_h, img_w, tile_size, ntx, nty,
+        chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
+        interpret=INTERPRET,
+    )
+    return out, T_final
+
+
+def _pl_fwd(xys, conics, opacities, colors, binning_arrays,
+            img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
+            ntx, nty):
+    sorted_prim, tile_start, tile_end, valid = binning_arrays[:4]
+    out, T_final, cnt = rasterize_tiled_pallas_fwd(
+        xys, conics, opacities, colors, valid.astype(xys.dtype),
+        sorted_prim, tile_start, tile_end,
+        img_h, img_w, tile_size, ntx, nty,
+        chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
+        interpret=INTERPRET,
+    )
+    return (out, T_final), (xys, conics, opacities, colors, binning_arrays,
+                            T_final, cnt)
+
+
+def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
+            ntx, nty, res, grads):
+    from goliath_tpu.ops.gsplat import reduce_sorted_pair_grads
+
+    xys, conics, opacities, colors, binning_arrays, T_final, cnt = res
+    dL_dout, dL_dT = grads
+    (sorted_prim, tile_start, tile_end, valid,
+     inv_perm, prim_offsets, prim_ends) = binning_arrays
+    sorted_g = pair_grads_pallas(
+        xys, conics, opacities, colors, valid.astype(xys.dtype),
+        sorted_prim, tile_start, tile_end,
+        dL_dout, dL_dT, T_final, cnt,
+        img_h, img_w, tile_size, ntx, nty,
+        chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
+        interpret=INTERPRET,
+    )
+    acc = reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets,
+                                   prim_ends)
+    dxys = acc[:, 0:2]
+    dconics = acc[:, 2:5]
+    dopacities = acc[:, 5:6].reshape(opacities.shape)
+    dcolors = acc[:, 6:]
+    return (dxys, dconics, dopacities, dcolors, None)
+
+
+rasterize_tiled_pl.defvjp(_pl_fwd, _pl_bwd)
