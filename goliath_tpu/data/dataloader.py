@@ -197,6 +197,12 @@ class BodyDataset:
     # -- zip readers ----------------------------------------------------------
 
     def _zip_read(self, zip_rel: str, member: str) -> bytes:
+        # native core: central directory parsed once per zip, GIL-free
+        # pread+inflate (goliath_tpu/native); Python zipfile as fallback
+        from goliath_tpu.native import zipio
+
+        if zipio.have_native():
+            return zipio.open_cached(self.root_path / zip_rel).read(member)
         with zipfile.ZipFile(self.root_path / zip_rel) as zf:
             with zf.open(member) as fh:
                 return fh.read()
