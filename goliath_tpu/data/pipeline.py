@@ -64,25 +64,33 @@ class DataLoader:
                 yield collate([self.dataset[j] for j in idxs])
             return
 
+        # samples are built on a thread pool: the heavy work (native zip
+        # inflate, avif/png decode) runs outside the GIL, so threads scale
+        # like the reference's DataLoader worker processes without pickling
+        from concurrent.futures import ThreadPoolExecutor
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
 
-        def worker():
+        def producer():
             try:
                 for idxs in self._index_stream():
                     if stop.is_set():
                         return
-                    q.put(collate([self.dataset[j] for j in idxs]))
+                    q.put([ex.submit(self.dataset.__getitem__, j)
+                           for j in idxs])
             finally:
                 q.put(StopIteration)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
                 item = q.get()
                 if item is StopIteration:
                     return
-                yield item
+                yield collate([f.result() for f in item])
         finally:
             stop.set()
+            ex.shutdown(wait=False, cancel_futures=True)
