@@ -14,6 +14,7 @@ one step late, which the checkpoint granularity makes irrelevant.
 from __future__ import annotations
 
 import logging
+import time
 import os
 from collections import deque
 from typing import Any, Callable, Dict, Iterator, Mapping, Optional
@@ -168,6 +169,16 @@ def train(
     loss_history: deque = deque(maxlen=32)
     pending = None  # (iteration, loss device scalar) for lagged explosion check
 
+    # profiling (SURVEY.md 5): jax profiler trace over a config-chosen window
+    # (train.profile = {dir, start_step, n_steps}); per-step wall time is
+    # always tracked and logged as Perf/steps_per_sec
+    pcfg = tcfg.get("profile") or {}
+    prof_start = int(pcfg.get("start_step", -1))
+    prof_n = int(pcfg.get("n_steps", 5))
+    _prof_active = False
+    _t_window = time.time()
+    _it_window = iteration
+
     for batch in train_data:
         if batch is None:
             logger.info("skipping empty batch")
@@ -176,6 +187,13 @@ def train(
             batch = batch_filter_fn(batch)
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if not isinstance(v, (list, str))}
+
+        if prof_start >= 0 and iteration == prof_start and not _prof_active:
+            jax.profiler.start_trace(pcfg.get("dir", "profile"))
+            _prof_active = True
+        if _prof_active and iteration >= prof_start + prof_n:
+            jax.profiler.stop_trace()
+            _prof_active = False
 
         rng, key = jax.random.split(rng)
         new_params, new_opt_state, total, ldict = step_fn(
@@ -215,6 +233,14 @@ def train(
             _ld = process_losses(ldict)
             loss_str = " ".join(f"{k}={v:.4f}" for k, v in _ld.items())
             logger.info(f"iter={iteration}: {loss_str}")
+            now = time.time()
+            if iteration > _it_window and now > _t_window:
+                sps = (iteration - _it_window) / (now - _t_window)
+                logger.info(f"perf: {sps:.3f} steps/s")
+                if train_writer is not None:
+                    train_writer.add_scalar("Perf/steps_per_sec", sps,
+                                            iteration)
+            _t_window, _it_window = now, iteration
             if train_writer is not None:
                 for name, value in _ld.items():
                     train_writer.add_scalar(f"Losses/{name}", value, iteration)
