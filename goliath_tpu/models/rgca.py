@@ -129,6 +129,25 @@ def _pyramid_widths(slabsize: int):
     return [256] + full[-(n_ups - 1):] if n_ups > 1 else [256]
 
 
+def _prim_pyramid(mdl, h, out_ch, name, cin):
+    """Conv-transpose pyramid 8x8 -> slabsize^2 (rgca.py:398-460); module-
+    scoped free function so nn.remat can wrap it without renaming params."""
+    widths = _pyramid_widths(mdl.slabsize)
+    size = 8
+    for i, w_out in enumerate(widths[1:] + [None]):
+        size *= 2
+        cout = w_out if w_out is not None else out_ch
+        alpha = 0.2 if w_out is not None else 1.0
+        h = ConvTranspose2dWNUB(
+            cin, cout, size, size, 4, 2, 1, alpha=alpha,
+            name=f"{name}{i}",
+        )(h)
+        if w_out is not None:
+            h = leaky_relu(h)
+        cin = cout
+    return h
+
+
 class PrimDecoder(nn.Module):
     """Latent (+view) -> per-texel relightable Gaussians (rgca.py:372-620)."""
 
@@ -173,31 +192,19 @@ class PrimDecoder(nn.Module):
             LinearWN(self.n_embs, 256 * 8 * 8, name="encmod")(embs)
         ).reshape(-1, 256, 8, 8)
 
-        widths = _pyramid_widths(S)
+        # rematerialized: the conv-transpose pyramids to slabsize^2 dominate
+        # training memory (hundreds of MB of activations per sample at 1024^2)
+        # while costing little to recompute relative to the splat render
+        pyramid = nn.remat(_prim_pyramid, static_argnums=(2, 3, 4))
 
-        def pyramid(h, out_ch, name, cin=256):
-            size = 8
-            for i, w_out in enumerate(widths[1:] + [None]):
-                size *= 2
-                cout = w_out if w_out is not None else out_ch
-                alpha = 0.2 if w_out is not None else 1.0
-                h = ConvTranspose2dWNUB(
-                    cin, cout, size, size, 4, 2, 1, alpha=alpha,
-                    name=f"{name}{i}",
-                )(h)
-                if w_out is not None:
-                    h = leaky_relu(h)
-                cin = cout
-            return h
-
-        f_vnocond = pyramid(h0, vind_ch, "vnocond")
+        f_vnocond = pyramid(self, h0, vind_ch, "vnocond", 256)
 
         view = leaky_relu(
             LinearWN(3, 8, name="viewmod")(_normalize(headrel_campos))
         )[:, :, None, None]
         view = jnp.broadcast_to(view, view.shape[:2] + (8, 8))
-        f_vcond = pyramid(jnp.concatenate([h0, view], axis=1), vd_ch,
-                          "vcond", cin=256 + 8)
+        f_vcond = pyramid(self, jnp.concatenate([h0, view], axis=1), vd_ch,
+                          "vcond", 256 + 8)
         f_vcond = f_vcond.transpose(0, 2, 3, 1).reshape(B, -1, vd_ch)
 
         # diffuse SH
