@@ -144,6 +144,17 @@ class FaceEncoder(nn.Module):
         return {f"face_{k}": v for k, v in preds.items()}
 
 
+def _up_trunk(mdl, x, n_channels, sizes):
+    """Grouped up-conv trunk (reference mesh_vae.py:603-610); free function so
+    nn.remat wraps it without changing parameter names."""
+    for b in range(len(sizes) - 1):
+        x = UpConvBlockDeep(
+            n_channels[b] * 2, n_channels[b + 1] * 2, sizes[b + 1],
+            groups=2, name=f"conv_block{b}",
+        )(x)
+    return x
+
+
 class ConvDecoder(nn.Module):
     """Pose + latents -> geometry-delta UV + mean texture
     (reference mesh_vae.py:438-630)."""
@@ -230,11 +241,10 @@ class ConvDecoder(nn.Module):
         )(joint)
 
         x = jnp.concatenate([joint, joint], axis=1)
-        for b in range(n_blocks):
-            x = UpConvBlockDeep(
-                n_channels[b] * 2, n_channels[b + 1] * 2, sizes[b + 1],
-                groups=2, name=f"conv_block{b}",
-            )(x)
+        # rematerialized: the up-conv trunk to uv_size^2 dominates training
+        # memory; recompute in the backward is cheap next to the raster
+        trunk = nn.remat(_up_trunk, static_argnums=(2, 3))
+        x = trunk(self, x, tuple(n_channels), tuple(sizes))
 
         x = self.seam_sampler.impaint(x)
         x = self.seam_sampler.resample(x)
