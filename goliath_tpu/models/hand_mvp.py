@@ -185,7 +185,7 @@ class GeomDecoder(nn.Module):
         primrotdelta = axisangle_to_matrix(delta_rvec)
         primrot = jnp.einsum("bkij,bkjl->bkil", primrotbase, primrotdelta)
 
-        alpha = DeconvContentDecoder(
+        alpha = nn.remat(DeconvContentDecoder)(
             self.primsize_z, self.inch, 1, self.in_size, self.uv_size,
             name="alphadecoder",
         )(joint).reshape(B, self.primsize_z, 1, self.uv_size, self.uv_size)
@@ -215,7 +215,7 @@ class RGBSlabDecoder(nn.Module):
             ambient_occlusion, size=(self.in_size, self.in_size)
         )
         view_cond = jnp.concatenate([joint, view_cos_uv, ao_ds], axis=1)
-        rgb = DeconvContentDecoder(
+        rgb = nn.remat(DeconvContentDecoder)(
             self.primsize_z, self.inch, 3, self.in_size, self.uv_size,
             name="texdecoder",
         )(view_cond).reshape(B, self.primsize_z, 3, self.uv_size, self.uv_size)
