@@ -51,7 +51,7 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
             "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 512)),
             "chunk": 64,
             "pair_budget_mult": int(os.environ.get("GOLIATH_BENCH_PBM", 4)),
-            "use_pallas": os.environ.get("GOLIATH_BENCH_PALLAS", "0") == "1",
+            "use_pallas": os.environ.get("GOLIATH_BENCH_PALLAS", "1") == "1",
         },
     )
     loss_fn = ModularLoss(
