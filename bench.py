@@ -141,12 +141,18 @@ def main():
     batch = int(os.environ.get("GOLIATH_BENCH_BATCH", 4))
     n_steps = int(os.environ.get("GOLIATH_BENCH_STEPS", 10))
 
+    pal = os.environ.get("GOLIATH_BENCH_PALLAS", "1")
+    # (h, w, uv, batch, use_pallas): pallas full-res currently hits a
+    # backend FAILED_PRECONDITION inside the end-to-end graph (kernel alone
+    # is fine at that scale — see CLAUDE.md); the XLA full-res rung is the
+    # best-scoring fallback until that is fixed
     attempts = [
-        (img_h, img_w, uv, batch),
-        (img_h, img_w, uv, max(batch // 2, 1)),
-        (img_h // 2, img_w // 2, uv, max(batch // 2, 1)),
-        (img_h // 2, img_w // 2, uv // 2, max(batch // 2, 1)),
-        (512, 512, 256, 1),
+        (img_h, img_w, uv, batch, pal),
+        (img_h, img_w, uv, max(batch // 2, 1), "0"),
+        (img_h, img_w, uv, 1, "0"),
+        (img_h // 2, img_w // 2, uv, max(batch // 2, 1), pal),
+        (img_h // 2, img_w // 2, uv // 2, max(batch // 2, 1), pal),
+        (512, 512, 256, 1, pal),
     ]
     if os.environ.get("GOLIATH_BENCH_SINGLE") == "1":
         run_single(img_h, img_w, uv, batch, n_steps)
@@ -156,13 +162,14 @@ def main():
     # cascading OOM into every smaller rung — run each rung in a fresh
     # subprocess instead
     import subprocess
-    for h, w, u, b in attempts:
+    for h, w, u, b, pl in attempts:
         env = dict(os.environ)
         env.update({
             "GOLIATH_BENCH_SINGLE": "1",
             "GOLIATH_BENCH_IMG_H": str(h), "GOLIATH_BENCH_IMG_W": str(w),
             "GOLIATH_BENCH_UV": str(u), "GOLIATH_BENCH_BATCH": str(b),
             "GOLIATH_BENCH_STEPS": str(n_steps),
+            "GOLIATH_BENCH_PALLAS": pl,
         })
         try:
             r = subprocess.run(
