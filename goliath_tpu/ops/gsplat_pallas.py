@@ -149,16 +149,22 @@ def rasterize_tiled_pallas_fwd(
     P = tile_size * tile_size
     feat = 8 + C
 
+    nchunks = max_pairs_per_tile // chunk + 1  # +1 for the alignment shift
+
     gi = jnp.clip(sorted_prim, 0, N - 1)
     op = (opacities.reshape(-1) * valid)[gi][:, None]
     rows = jnp.concatenate(
         [xys[gi], conics[gi], op,
          jnp.zeros((budget, 2), xys.dtype), colors[gi]], axis=1,
     )
-    rows = jnp.pad(rows, ((0, 2 * chunk), (0, 0)))
+    # The BlockSpec index_map reaches block start[t]//chunk + nchunks - 1,
+    # whose row range extends up to nchunks*chunk past (start//chunk)*chunk;
+    # with start up to `budget` the pad must cover nchunks*chunk extra rows
+    # or the block DMA reads out of bounds on hardware (interpret mode
+    # silently clamps, masking the bug in CPU tests).
+    rows = jnp.pad(rows, ((0, nchunks * chunk), (0, 0)))
 
     T_tiles = ntx * nty
-    nchunks = max_pairs_per_tile // chunk + 1  # +1 for the alignment shift
     out_feat = C + 2  # color rows, final T, processed-block cutoff
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -354,13 +360,17 @@ def pair_grads_pallas(
     P = tile_size * tile_size
     feat = 8 + C
 
+    nchunks = max_pairs_per_tile // chunk + 1
+
     gi = jnp.clip(sorted_prim, 0, N - 1)
     op = (opacities.reshape(-1) * valid)[gi][:, None]
     rows = jnp.concatenate(
         [xys[gi], conics[gi], op,
          jnp.zeros((budget, 2), xys.dtype), colors[gi]], axis=1,
     )
-    rows = jnp.pad(rows, ((0, 2 * chunk), (0, 0)))
+    # pad by nchunks*chunk, matching the deepest block the index_map can
+    # request (see rasterize_tiled_pallas_fwd)
+    rows = jnp.pad(rows, ((0, nchunks * chunk), (0, 0)))
 
     # per-tile gradient/state planes packed as one [T, C+2, P] operand
     pad_h = nty * tile_size - img_h
@@ -372,7 +382,6 @@ def pair_grads_pallas(
     g = g.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, C + 2, P)
 
     T_tiles = ntx * nty
-    nchunks = max_pairs_per_tile // chunk + 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -416,6 +425,10 @@ def pair_grads_pallas(
     t_of = jnp.clip(t_of, 0, T_tiles - 1)
     ok = (s >= tile_start[t_of]) & (s < tile_end[t_of])
     align = (tile_start[t_of] // chunk) * chunk
+    # pairs past the per-tile block budget were never composited by the fwd
+    # (and have no private-buffer slot): without this guard their idx spills
+    # into the NEXT tile's buffer and steals that tile's gradients
+    ok &= (s - align) < nchunks * chunk
     idx = t_of * (nchunks * chunk) + (s - align)
     idx = jnp.where(ok, idx, 0)
     sorted_g = jnp.where(ok[:, None], out_flat[idx][:, :6 + C], 0.0)

@@ -117,10 +117,16 @@ def matrix_to_quat(m: jnp.ndarray) -> jnp.ndarray:
     return normalize(q)
 
 
-def axisangle_to_matrix(rvec: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Rodrigues: axis-angle [..., 3] -> rotation matrix [..., 3, 3]."""
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)
-    axis = rvec / jnp.clip(theta, min=eps)
+def axisangle_to_matrix(rvec: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Rodrigues: axis-angle [..., 3] -> rotation matrix [..., 3, 3].
+
+    eps goes INSIDE the sqrt (repo convention; matches the reference's
+    theta = sqrt(1e-5 + sum(rvec**2))): jnp.linalg.norm has NaN gradients at
+    exactly-zero rvec, which hand_mvp produces for every primitive during
+    the delta-rotation warmup (primposstart iterations).
+    """
+    theta = jnp.sqrt(jnp.sum(rvec * rvec, axis=-1, keepdims=True) + eps)
+    axis = rvec / theta
     x, y, z = jnp.moveaxis(axis, -1, 0)
     zero = jnp.zeros_like(x)
     K = jnp.stack([zero, -z, y, z, zero, -x, -y, x, zero], -1)

@@ -101,6 +101,29 @@ def test_axisangle_roundtrip():
     np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=1e-4)
 
 
+def test_axisangle_grad_at_zero():
+    """hand_mvp drives delta_rvec to exactly zero during warmup; the
+    gradient there must be finite (ADVICE r1: NaN via jnp.linalg.norm)."""
+    import jax
+
+    def f(rvec):
+        return gq.axisangle_to_matrix(rvec).sum()
+
+    g0 = jax.grad(f)(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g0))), g0
+    # the analytic derivative of sum(R) at rvec=0 is sum over the skew
+    # basis: dR/dv_k = skew(e_k), so d(sum R)/dv = 0 for each component
+    np.testing.assert_allclose(np.asarray(g0), 0.0, atol=1e-4)
+    # and slightly away from zero it matches finite differences
+    rv = jnp.asarray([1e-3, -2e-3, 5e-4])
+    g = np.asarray(jax.grad(f)(rv))
+    eps = 1e-3
+    for k in range(3):
+        e = np.zeros(3); e[k] = eps
+        fd = (float(f(rv + e)) - float(f(rv - e))) / (2 * eps)
+        np.testing.assert_allclose(g[k], fd, atol=1e-3)
+
+
 def test_rigid_align():
     rs = np.random.RandomState(6)
     src = rs.randn(2, 30, 3).astype(np.float32)

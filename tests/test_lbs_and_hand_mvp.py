@@ -153,3 +153,14 @@ def test_hand_mvp_train_step(hand_setup):
     assert any(float(jnp.abs(l).sum()) > 0 for l in rgb_grads)
     trans_grads = [l for p, l in flat if "transdecoder" in str(p)]
     assert any(float(jnp.abs(l).sum()) > 0 for l in trans_grads)
+
+    # warmup window (iteration < primposstart): deltas are forced to exactly
+    # zero, which used to produce NaN grads through axisangle_to_matrix and
+    # silently zero the whole encoder's gradient (ADVICE r1). Grads must be
+    # finite AND the pose encoder must still learn.
+    total_w, grads_w = step(params, jb, jnp.asarray(0))
+    assert np.isfinite(float(total_w))
+    leaves_w = jax.tree_util.tree_flatten_with_path(grads_w)[0]
+    assert all(bool(jnp.isfinite(l).all()) for _, l in leaves_w)
+    enc_grads = [l for p, l in leaves_w if "poseencoder" in str(p)]
+    assert enc_grads and any(float(jnp.abs(l).sum()) > 0 for l in enc_grads)
