@@ -36,14 +36,14 @@ logger = logging.getLogger(__name__)
 _IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
-# VGG19 conv ladder matching torchvision `features` indices 0-29 (conv counts):
-# slice boundaries at relu1_1(conv0), relu2_2(conv3), relu3_2(conv5),
-# relu4_2(conv9), relu5_2(conv13) — same receptive-field structure as the
-# reference's 5 slices (vgg.py:28-48).
+# VGG19 conv ladder matching torchvision `features` indices 0-29. The
+# reference slices at features [0:2), [2:7), [7:12), [12:21), [21:30)
+# (vgg.py:28-38), i.e. the 5 feature maps are relu1_1, relu2_1, relu3_1,
+# relu4_1, relu5_1 — after convs 0, 2, 4, 8, 12 of the 13 convs reached.
 _VGG19_CONVS = [64, 64, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512,
-                512, 512]
+                512]
 _VGG19_POOL_BEFORE = {2, 4, 8, 12}     # conv indices (0-based) preceded by pool
-_VGG19_SLICE_AFTER = {0: 0, 3: 1, 5: 2, 9: 3, 13: 4}  # conv idx -> slice id
+_VGG19_SLICE_AFTER = {0: 0, 2: 1, 4: 2, 8: 3, 12: 4}  # conv idx -> slice id
 
 
 def _max_pool2(x: jnp.ndarray) -> jnp.ndarray:
@@ -125,48 +125,113 @@ class VGGLossMasked:
         return loss
 
 
-# EfficientNet-B0-ish feature stages: stem conv + 2 MBConv-like stages.
-# Without pretrained weights we approximate the stage structure (stride-2
-# depthwise-separable blocks) — receptive fields match B0's features[1:4].
-_EFFNET_STAGES = [(32, 2), (16, 1), (24, 2), (40, 2)]
+# EfficientNet-B0 features[0..3], faithful to torchvision (the reference
+# uses efficientnet_b0 features at activation_idxs [1, 2, 3], effnet.py:
+# 16-69). BatchNorms are folded into the convs at export time
+# (scripts/export_perceptual_npz.py), so inference is conv+bias only.
+#
+# Block spec (cin, expand_ratio, kernel, stride, cout, se_squeeze):
+# B0 stage 1 = 1x MBConv1-k3-s1 32->16; stage 2 = 2x MBConv6-k3 16->24
+# (s2 then s1); stage 3 = 2x MBConv6-k5 24->40 (s2 then s1). SE squeeze
+# channels = max(1, cin // 4) of the BLOCK input (torchvision convention).
+_B0_STEM = (3, 32, 3, 2)  # cin, cout, kernel, stride
+_B0_BLOCKS = [
+    # (cin, expand, k, stride, cout, se_sq)
+    (32, 1, 3, 1, 16, 8),
+    (16, 6, 3, 2, 24, 4),
+    (24, 6, 3, 1, 24, 6),
+    (24, 6, 5, 2, 40, 6),
+    (40, 6, 5, 1, 40, 10),
+]
+_B0_STAGE_AFTER_BLOCK = {0: 0, 2: 1, 4: 2}  # block idx -> feature slot
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _conv_nchw(x, w, b, stride=1, groups=1):
+    k = w.shape[-1]
+    pad = (k - 1) // 2
+    y = lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+    )
+    return y + b[None, :, None, None]
 
 
 @lru_cache(maxsize=1)
 def _effnet_weights():
+    """Returns {key: array} of folded-BN B0 weights for features[0..3].
+
+    Keys: stem_w/b; per block j: mb{j}_expand_w/b (absent for expand=1),
+    mb{j}_dw_w/b, mb{j}_se1_w/b, mb{j}_se2_w/b, mb{j}_proj_w/b.
+    """
     path = os.environ.get("GOLIATH_TPU_EFFNET_NPZ", "")
     if path and os.path.exists(path):
         data = np.load(path)
-        return [
-            (jnp.asarray(data[f"conv{i}_w"]), jnp.asarray(data[f"conv{i}_b"]))
-            for i in range(len(_EFFNET_STAGES))
-        ]
+        logger.info(f"loaded EfficientNet-B0 weights from {path}")
+        return {k: jnp.asarray(data[k]) for k in data.files}
     logger.warning(
         "EfficientNet weights unavailable (set GOLIATH_TPU_EFFNET_NPZ); "
-        "using fixed-seed random features."
+        "using fixed-seed random features with the faithful B0 structure."
     )
     key = jax.random.PRNGKey(4321)
-    ws = []
-    cin = 3
-    for i, (cout, _) in enumerate(_EFFNET_STAGES):
+    ws = {}
+
+    def randw(key, shape, fan_in):
+        return jax.random.normal(key, shape, jnp.float32) * np.sqrt(
+            2.0 / fan_in)
+
+    cin, cout, k, _ = _B0_STEM
+    key, k1 = jax.random.split(key)
+    ws["stem_w"] = randw(k1, (cout, cin, k, k), cin * k * k)
+    ws["stem_b"] = jnp.zeros((cout,))
+    for j, (cin, exp, k, _s, cout, sq) in enumerate(_B0_BLOCKS):
+        mid = cin * exp
+        if exp != 1:
+            key, k1 = jax.random.split(key)
+            ws[f"mb{j}_expand_w"] = randw(k1, (mid, cin, 1, 1), cin)
+            ws[f"mb{j}_expand_b"] = jnp.zeros((mid,))
         key, k1 = jax.random.split(key)
-        std = np.sqrt(2.0 / (cin * 9))
-        w = jax.random.normal(k1, (cout, cin, 3, 3), jnp.float32) * std
-        ws.append((w, jnp.zeros((cout,), jnp.float32)))
-        cin = cout
+        ws[f"mb{j}_dw_w"] = randw(k1, (mid, 1, k, k), k * k)
+        ws[f"mb{j}_dw_b"] = jnp.zeros((mid,))
+        key, k1 = jax.random.split(key)
+        ws[f"mb{j}_se1_w"] = randw(k1, (sq, mid, 1, 1), mid)
+        ws[f"mb{j}_se1_b"] = jnp.zeros((sq,))
+        key, k1 = jax.random.split(key)
+        ws[f"mb{j}_se2_w"] = randw(k1, (mid, sq, 1, 1), sq)
+        ws[f"mb{j}_se2_b"] = jnp.zeros((mid,))
+        key, k1 = jax.random.split(key)
+        ws[f"mb{j}_proj_w"] = randw(k1, (cout, mid, 1, 1), mid)
+        ws[f"mb{j}_proj_b"] = jnp.zeros((cout,))
     return ws
 
 
 def _effnet_features(x: jnp.ndarray) -> List[jnp.ndarray]:
-    ws = _effnet_weights()
-    feats = []
-    h = x
-    for i, ((w, b), (cout, stride)) in enumerate(zip(ws, _EFFNET_STAGES)):
-        h = lax.conv_general_dilated(
-            h, lax.stop_gradient(w), (stride, stride), [(1, 1), (1, 1)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        ) + lax.stop_gradient(b)[None, :, None, None]
-        h = h * jax.nn.sigmoid(h)  # SiLU like EfficientNet
-        if i >= 1:  # features[1], [2], [3]
+    ws = {k: lax.stop_gradient(v) for k, v in _effnet_weights().items()}
+    cin, cout, k, s = _B0_STEM
+    h = _silu(_conv_nchw(x, ws["stem_w"], ws["stem_b"], stride=s))
+    feats: List[jnp.ndarray] = []
+    for j, (cin, exp, k, s, cout, sq) in enumerate(_B0_BLOCKS):
+        inp = h
+        mid = cin * exp
+        if exp != 1:
+            h = _silu(_conv_nchw(h, ws[f"mb{j}_expand_w"],
+                                 ws[f"mb{j}_expand_b"]))
+        h = _silu(_conv_nchw(h, ws[f"mb{j}_dw_w"], ws[f"mb{j}_dw_b"],
+                             stride=s, groups=mid))
+        # squeeze-excitation: global avg pool -> 1x1 silu -> 1x1 sigmoid gate
+        se = jnp.mean(h, axis=(2, 3), keepdims=True)
+        se = _silu(_conv_nchw(se, ws[f"mb{j}_se1_w"], ws[f"mb{j}_se1_b"]))
+        se = jax.nn.sigmoid(
+            _conv_nchw(se, ws[f"mb{j}_se2_w"], ws[f"mb{j}_se2_b"]))
+        h = h * se
+        h = _conv_nchw(h, ws[f"mb{j}_proj_w"], ws[f"mb{j}_proj_b"])  # linear
+        if s == 1 and cin == cout:
+            h = h + inp  # skip (stochastic depth is identity in eval mode)
+        if j in _B0_STAGE_AFTER_BLOCK:
             feats.append(h)
     return feats
 
