@@ -121,3 +121,77 @@ def bin_to_tiles(
     return TileBinning(vals_sorted, tile_start, tile_end, inv_perm,
                        offsets.astype(jnp.int32), ends.astype(jnp.int32),
                        num_tiles_x, num_tiles_y)
+
+
+class CellBinning(NamedTuple):
+    sorted_prim: jnp.ndarray  # [budget] prim index per (cell, prim) pair
+    cell_start: jnp.ndarray   # [num_cells]
+    cell_end: jnp.ndarray     # [num_cells]
+
+
+def bin_boxes_to_cells(
+    cell_min: jnp.ndarray,   # [N, 3] inclusive cell coords (x, y, z)
+    cell_max: jnp.ndarray,   # [N, 3] exclusive
+    valid: jnp.ndarray,      # [N] bool
+    ncells: Tuple[int, int, int],   # (ncx, ncy, ncz)
+    max_cells_per_prim: int = 64,
+    pair_budget: int | None = None,
+) -> CellBinning:
+    """3D analogue of bin_to_tiles: expand each primitive's cell-box into
+    (cell_id, prim) pairs with the same scatter-free slot-searchsorted
+    pattern. Spans exceeding max_cells_per_prim are center-cropped per axis
+    (kspan = floor(cbrt(max_cells_per_prim)))."""
+    N = cell_min.shape[0]
+    ncx, ncy, ncz = ncells
+    if pair_budget is None:
+        pair_budget = 8 * N
+    num_cells = ncx * ncy * ncz
+    kspan = max(int(round(max_cells_per_prim ** (1.0 / 3.0))), 1)
+
+    lo = jnp.stack([jnp.clip(cell_min[:, 0], 0, ncx),
+                    jnp.clip(cell_min[:, 1], 0, ncy),
+                    jnp.clip(cell_min[:, 2], 0, ncz)], -1)
+    hi = jnp.stack([jnp.clip(cell_max[:, 0], 0, ncx),
+                    jnp.clip(cell_max[:, 1], 0, ncy),
+                    jnp.clip(cell_max[:, 2], 0, ncz)], -1)
+    span = jnp.maximum(hi - lo, 0)
+    center = (lo + hi) // 2
+    crop = span > kspan
+    lim = jnp.asarray([ncx, ncy, ncz], lo.dtype)
+    lo = jnp.where(crop, jnp.clip(center - kspan // 2, 0, lim[None]), lo)
+    span = jnp.minimum(span, kspan)
+    w, h, d = span[:, 0], span[:, 1], span[:, 2]
+
+    counts = jnp.where(valid, w * h * d, 0)
+    ends = jnp.cumsum(counts)
+    offsets = ends - counts
+
+    slots = jnp.arange(pair_budget, dtype=jnp.int32)
+    prim_of_slot = jnp.searchsorted(
+        ends, slots, side="right", method="sort").astype(jnp.int32)
+    in_range = prim_of_slot < N
+    p = jnp.clip(prim_of_slot, 0, N - 1)
+    table = jnp.stack(
+        [offsets.astype(jnp.int32),
+         jnp.maximum(w, 1).astype(jnp.int32),
+         jnp.maximum(h, 1).astype(jnp.int32),
+         lo[:, 0].astype(jnp.int32), lo[:, 1].astype(jnp.int32),
+         lo[:, 2].astype(jnp.int32)], axis=1)
+    rows = table[p]
+    k = slots - rows[:, 0]
+    wk, hk = rows[:, 1], rows[:, 2]
+    cx = rows[:, 3] + k % wk
+    cy = rows[:, 4] + (k // wk) % hk
+    cz = rows[:, 5] + k // (wk * hk)
+    keys = jnp.where(
+        in_range, ((cz * ncy + cy) * ncx + cx).astype(jnp.int32), num_cells)
+    vals = jnp.where(in_range, p, 0).astype(jnp.int32)
+
+    keys_sorted, vals_sorted = jax.lax.sort((keys, vals), num_keys=1,
+                                            is_stable=True)
+    cell_ids = jnp.arange(num_cells, dtype=jnp.int32)
+    cell_start = jnp.searchsorted(keys_sorted, cell_ids, side="left").astype(
+        jnp.int32)
+    cell_end = jnp.searchsorted(keys_sorted, cell_ids, side="right").astype(
+        jnp.int32)
+    return CellBinning(vals_sorted, cell_start, cell_end)

@@ -59,15 +59,24 @@ def sample_prims(
     y: jnp.ndarray,          # [CH, S, 3] prim-local coords
     fadescale: float,
     fadeexp: float,
+    warp: Optional[jnp.ndarray] = None,  # [K, 3, WD, WH, WW]
 ) -> jnp.ndarray:
-    """Trilinear RGBA samples with border fade: [CH, S, 4]."""
-    tpl = template[prim_ids]  # [CH, 4, TD, TH, TW]
-    rgba = jax.vmap(lambda v, c: grid_sample_3d(v, c))(tpl, y)  # [CH, 4, S]
-    rgba = rgba.transpose(0, 2, 1)  # [CH, S, 4]
+    """Trilinear RGBA samples with border fade: [CH, S, 4].
+
+    With a warp field, the template is sampled at the warped coordinate
+    while the border fade and validity use the pre-warp coordinate
+    (reference primsampler.h:44-67: fade from y0, template at yy1)."""
     fade = jnp.exp(
         -fadescale * jnp.sum(jnp.abs(y) ** fadeexp, axis=-1)
     )
     valid = jnp.all(jnp.abs(y) < 1.0, axis=-1)
+    if warp is not None:
+        wgrid = warp[prim_ids]  # [CH, 3, WD, WH, WW]
+        y = jax.vmap(lambda v, c: grid_sample_3d(v, c))(wgrid, y)
+        y = y.transpose(0, 2, 1)  # [CH, S, 3] warped coords
+    tpl = template[prim_ids]  # [CH, 4, TD, TH, TW]
+    rgba = jax.vmap(lambda v, c: grid_sample_3d(v, c))(tpl, y)  # [CH, 4, S]
+    rgba = rgba.transpose(0, 2, 1)  # [CH, S, 4]
     alpha = rgba[..., 3] * fade * valid
     return jnp.concatenate([rgba[..., :3], alpha[..., None]], axis=-1)
 
@@ -98,6 +107,7 @@ def march_reference(
     max_steps: int,
     fadescale: float = 8.0,
     fadeexp: float = 8.0,
+    warp: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Exact oracle: all prims, fixed global steps. Returns [R, 4]."""
     R = raypos.shape[0]
@@ -110,7 +120,8 @@ def march_reference(
     rel = pos[None] - primpos[:, None, None]
     y = jnp.einsum("kij,krsi->krsj", primrot, rel) * primscale[:, None, None]
     samples = sample_prims(
-        template, jnp.arange(K), y.reshape(K, -1, 3), fadescale, fadeexp
+        template, jnp.arange(K), y.reshape(K, -1, 3), fadescale, fadeexp,
+        warp=warp,
     ).reshape(K, R, max_steps, 4)
     # Multiple prims at one sample point: CUDA accumulates each prim's
     # sample as a separate event (hitbox order). Below saturation the order
@@ -161,6 +172,7 @@ def mvp_raymarch_tiled(
     fadescale: float = 8.0,
     fadeexp: float = 8.0,
     termthresh: float = 0.99,
+    warp: Optional[jnp.ndarray] = None,  # [K, 3, WD, WH, WW]
 ) -> jnp.ndarray:
     """Tile-culled fixed-step MVP march. Returns rgba image [H, W, 4].
 
@@ -251,7 +263,8 @@ def mvp_raymarch_tiled(
                 "kij,kpsi->kpsj", primrot[cp], rel
             ) * primscale[cp][:, None, None]
             s = sample_prims(
-                template, cp, y.reshape(chunk, -1, 3), fadescale, fadeexp
+                template, cp, y.reshape(chunk, -1, 3), fadescale, fadeexp,
+                warp=warp,
             ).reshape(chunk, P, max_steps, 4)
             a = s[..., 3] * cm[:, None, None]
             alpha_acc = alpha_acc + jnp.sum(a, axis=0)
@@ -302,39 +315,79 @@ def splat_density_grid(
     primscale: jnp.ndarray,   # [K, 3]
     primalpha: jnp.ndarray,   # [K, Z, Y, X] per-voxel alpha density
     grid_res: int = 64,
+    block: int = 8,
+    max_prims_per_block: int = 64,
+    chunk: int = 16,
+    max_cells_per_prim: int = 512,
+    pair_budget_mult: int = 128,
+    fadescale: float = 8.0,
+    fadeexp: float = 8.0,
 ) -> jnp.ndarray:
-    """Average prim voxel densities into a global [-1,1]^3 grid [G, G, G].
+    """Resample prim alpha fields onto a global [-1,1]^3 grid [G, G, G]
+    (indexed z, y, x) with D(x) = sum_k alpha_k(x) * fade_k(x).
 
-    TPU-first replacement for per-ray shadow splatting: the CUDA kernel
-    scatters transmittance into prim grids during a shadow-camera march; we
-    instead build one global density field and integrate rays through it
-    (`shadow_at_points`), which computes the same accumulated-alpha quantity
-    without data-dependent scatters inside the march.
+    TPU-first replacement for the CUDA per-ray shadow splatting
+    (primsplatter.h:14-38): instead of scattering transmittance during a
+    shadow-camera march, we build the density field the march integrates —
+    by GATHER, not scatter: prims are 3D-binned to grid blocks
+    (ops/binning.bin_boxes_to_cells) and each block evaluates its prims'
+    trilinear alpha at its cell centers. Overlapping prims sum (matching
+    the march's additive accumulation), and no cell is skipped — the
+    earlier point-splat approximation both averaged overlaps and left gaps
+    wherever grid cells were smaller than prim voxel spacing.
     """
-    K, Z, Y, X = primalpha.shape
+    from goliath_tpu.ops.binning import bin_boxes_to_cells
+
+    K = primalpha.shape[0]
     G = grid_res
+    assert G % block == 0, (G, block)
+    NB = G // block
+    P3 = block ** 3
 
-    def axis_coords(n):
-        return (jnp.arange(n, dtype=jnp.float32) + 0.5) / n * 2.0 - 1.0
+    pmin, pmax = prim_world_aabb(primpos, primrot, primscale)
+    to_cell = lambda p: (p + 1.0) * 0.5 * G / block
+    bmin = jnp.floor(to_cell(pmin)).astype(jnp.int32)
+    bmax = jnp.floor(to_cell(pmax)).astype(jnp.int32) + 1
+    binning = bin_boxes_to_cells(
+        bmin, bmax, jnp.ones((K,), bool), (NB, NB, NB),
+        max_cells_per_prim, pair_budget_mult * K,
+    )
+    budget = binning.sorted_prim.shape[0]
+    nchunks = max(max_prims_per_block // chunk, 1)
 
-    zz, yy, xx = jnp.meshgrid(axis_coords(Z), axis_coords(Y), axis_coords(X),
-                              indexing="ij")
-    y_local = jnp.stack([xx, yy, zz], -1).reshape(-1, 3)  # [V, 3] (x,y,z)
-    # world = p + R @ (y / s)
-    world = primpos[:, None] + jnp.einsum(
-        "kij,kvj->kvi", primrot, y_local[None] / primscale[:, None]
-    )  # [K, V, 3]
-    idx = jnp.floor((world + 1.0) * 0.5 * G).astype(jnp.int32)
-    ok = jnp.all((idx >= 0) & (idx < G), axis=-1)
-    flat = (idx[..., 2] * G + idx[..., 1]) * G + idx[..., 0]
-    flat = jnp.where(ok, flat, G * G * G)
-    a = primalpha.reshape(K, -1)
-    num = jnp.zeros((G * G * G,)).at[flat.reshape(-1)].add(
-        a.reshape(-1), mode="drop")
-    den = jnp.zeros((G * G * G,)).at[flat.reshape(-1)].add(
-        jnp.ones_like(a).reshape(-1), mode="drop")
-    density = num / jnp.clip(den, min=1.0)
-    return density.reshape(G, G, G)  # indexed [z, y, x]
+    # cell centers per block: [NB^3, P3, 3] in (x, y, z) world order
+    bi = jnp.arange(NB, dtype=jnp.int32)
+    bz, by, bx = jnp.meshgrid(bi, bi, bi, indexing="ij")
+    borig = jnp.stack([bx, by, bz], -1).reshape(-1, 1, 3) * block  # [NB^3,1,3]
+    li = jnp.arange(block, dtype=jnp.int32)
+    lz, ly, lx = jnp.meshgrid(li, li, li, indexing="ij")
+    local = jnp.stack([lx, ly, lz], -1).reshape(1, -1, 3)          # [1,P3,3]
+    pos = ((borig + local).astype(jnp.float32) + 0.5) / G * 2.0 - 1.0
+
+    def block_density(start, end, pos_b):
+        def prim_chunk(acc, ci):
+            cidx = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            cm = cidx < end
+            cp = binning.sorted_prim[jnp.clip(cidx, 0, budget - 1)]
+            rel = pos_b[None] - primpos[cp][:, None]
+            y = jnp.einsum("kij,kpi->kpj", primrot[cp], rel) \
+                * primscale[cp][:, None]
+            a = jax.vmap(lambda v, c: grid_sample_3d(v[None], c)[0])(
+                primalpha[cp], y)                       # [CH, P3]
+            fade = jnp.exp(-fadescale * jnp.sum(jnp.abs(y) ** fadeexp, -1))
+            valid = jnp.all(jnp.abs(y) < 1.0, axis=-1)
+            a = a * fade * valid * cm[:, None]
+            return acc + jnp.sum(a, axis=0), None
+
+        acc, _ = lax.scan(prim_chunk, jnp.zeros((P3,)),
+                          jnp.arange(nchunks, dtype=jnp.int32))
+        return acc
+
+    dens = jax.vmap(block_density)(
+        binning.cell_start, binning.cell_end, pos)       # [NB^3, P3]
+    dens = dens.reshape(NB, NB, NB, block, block, block)  # (bz,by,bx,lz,ly,lx)
+    dens = dens.transpose(0, 3, 1, 4, 2, 5).reshape(G, G, G)
+    return dens  # indexed [z, y, x]
 
 
 def shadow_at_points(

@@ -48,16 +48,22 @@ class Raymarcher:
         # translation by 1/volradius (rotation/intrinsics unchanged)
         Rt_n = Rt.at[:, :3, 3].divide(self.volume_radius)
 
-        def one(rp, rd, tm, pp, pr, ps, tpl, K_b, Rt_b):
+        # optional per-prim warp field [B, K, 3, WD, WH, WW] (reference
+        # mvpraymarch.py:313-418 `warp`, consumed render_raymarcher.py:56)
+        warp = decout.get("warp", None)
+
+        def one(rp, rd, tm, pp, pr, ps, tpl, K_b, Rt_b, *w):
             return mvp_raymarch_tiled(
                 rp, rd, self.dt, tm, pp, pr, ps, tpl, K_b, Rt_b,
+                warp=w[0] if w else None,
                 **self.march_kwargs,
             )
 
-        rgba = jax.vmap(one)(
-            raypos, raydir, tminmax, primpos, primrot, primscale, template,
-            K, Rt_n,
-        )  # [B, H, W, 4]
+        args = [raypos, raydir, tminmax, primpos, primrot, primscale,
+                template, K, Rt_n]
+        if warp is not None:
+            args.append(warp)
+        rgba = jax.vmap(one)(*args)  # [B, H, W, 4]
         rayrgba = rgba.transpose(0, 3, 1, 2)
         rayrgb = rayrgba[:, :3]
         rayalpha = rayrgba[:, 3:4]
