@@ -166,6 +166,16 @@ def train(
 
     step_fn = make_train_step(model, loss_fn, optimizer)
 
+    # Undonated restore target for explosion rollback: params/opt_state are
+    # donated to step_fn, so their device buffers are deleted by the time a
+    # rollback happens — an abstract ShapeDtypeStruct template is safe to
+    # hold and is all orbax needs to reconstruct the tree.
+    restore_tmpl = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        {"model": params, "optimizer": opt_state},
+    )
+    restore_tmpl["iteration"] = 0
+
     loss_history: deque = deque(maxlen=32)
     pending = None  # (iteration, loss device scalar) for lagged explosion check
 
@@ -217,12 +227,13 @@ def train(
         pending = (iteration, total)
 
         if exploded and has_checkpoint(ckpt_dir):
-            restored = load_checkpoint(
-                ckpt_dir, target={"model": params, "optimizer": opt_state,
-                                  "iteration": 0},
-            )
+            restored = load_checkpoint(ckpt_dir, target=restore_tmpl)
             params = restored["model"]
             opt_state = restored["optimizer"]
+            # resume from the checkpointed iteration so schedule-gated losses
+            # re-run the rolled-back steps (reference ca_code/utils/train.py:
+            # 189-204 reloads iteration with the checkpoint)
+            iteration = int(restored.get("iteration", iteration))
             loss_history.clear()
             pending = None
             continue
