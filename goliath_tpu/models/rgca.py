@@ -207,20 +207,24 @@ class PrimDecoder(nn.Module):
                           "vcond", 256 + 8)
         f_vcond = f_vcond.transpose(0, 2, 3, 1).reshape(B, -1, vd_ch)
 
-        # diffuse SH
-        diff_shs = f_vnocond[:, :n_diff_coeffs]
-        diff_shs = diff_shs.transpose(0, 2, 3, 1).reshape(B, -1, n_diff_coeffs)
-        shs_color = diff_shs[..., : n_color_coeffs * 3].reshape(
+        # diffuse SH. The reference concatenates color+broadcast-mono into a
+        # [B, N, 3, K] tensor and dots it with the light SH (rgca.py:540);
+        # at 1M gaussians that materializes multi-GB intermediates, so we
+        # keep color/mono factors separate and contract each with the light
+        # SH directly (identical math, no broadcast concat).
+        diff_raw = f_vnocond[:, :n_diff_coeffs]
+        diff_raw = diff_raw.transpose(0, 2, 3, 1).reshape(B, -1, n_diff_coeffs)
+        shs_color = diff_raw[..., : n_color_coeffs * 3].reshape(
             B, -1, 3, n_color_coeffs
         )
-        shs_mono = diff_shs[..., n_color_coeffs * 3:].reshape(
-            B, -1, 1, n_mono_coeffs
-        )
-        diff_shs = jnp.concatenate(
-            [shs_color, jnp.broadcast_to(shs_mono,
-                                         shs_mono.shape[:2] + (3, n_mono_coeffs))],
-            axis=-1,
-        )
+        shs_mono = diff_raw[..., n_color_coeffs * 3:]  # [B, N, n_mono]
+
+        def eval_diff_sh(light_sh):
+            """light_sh [B, 3, K] -> diffuse radiance [B, N, 3]."""
+            lc = light_sh[..., :n_color_coeffs]
+            lm = light_sh[..., n_color_coeffs:]
+            return (jnp.einsum("bnck,bck->bnc", shs_color, lc)
+                    + jnp.einsum("bnk,bck->bnc", shs_mono, lm))
 
         # gaussian params
         f_geom = f_vnocond[:, n_diff_coeffs: n_diff_coeffs + 11]
@@ -246,9 +250,7 @@ class PrimDecoder(nn.Module):
         )
         albedo = jnp.broadcast_to(albedo, (B,) + albedo.shape[1:])
 
-        diff_color = albedo * jnp.sum(
-            diff_shs * headrel_light_sh[:, None], axis=-1
-        )
+        diff_color = albedo * eval_diff_sh(headrel_light_sh)
 
         view_local = _normalize(primpos - headrel_campos[:, None])
         ref_dirs = view_local - 2.0 * jnp.sum(
@@ -299,10 +301,22 @@ class PrimDecoder(nn.Module):
             li = jnp.ones_like(light_intensity[:, :1])
             sh_coeffs = sh.dir2sh(self.n_diff_sh, light_dir)
             light_sh = jnp.sum(sh_coeffs[:, :, None] * li[..., None], axis=1)
-            diff_color_rand = jnp.sum(diff_shs * light_sh[:, None], axis=-1)
+            diff_color_rand = eval_diff_sh(light_sh)  # light_sh [B, 3, K]
             preds["cos_weight"] = cos_weight
             preds["color_rand"] = jnp.clip(diff_color_rand, min=0.0)
         return preds
+
+
+def _call_prim_decoder(dec, embs, geom, headrel_campos, light_intensity,
+                       headrel_light_pos, headrel_light_sh, n_lights,
+                       preconv_envmap, lightrot, train):
+    """Module-scoped free function so nn.remat can wrap the WHOLE decoder:
+    the backward then re-derives every UV-slab intermediate instead of
+    keeping multi-GB [B, C, S, S] residuals alive across the splat render
+    (the b=4 full-res RESOURCE_EXHAUSTED whale)."""
+    return dec(embs, geom, headrel_campos, light_intensity,
+               headrel_light_pos, headrel_light_sh, n_lights,
+               preconv_envmap, lightrot, train)
 
 
 class _RGCANet(nn.Module):
@@ -394,7 +408,7 @@ class _RGCANet(nn.Module):
         )(embs)
         geom = geom_preds["face_geom"]
 
-        dec_preds = PrimDecoder(
+        dec = PrimDecoder(
             n_embs=self.n_embs,
             geo_fn=self.geo_fn,
             color_mean=self.color_mean,
@@ -402,9 +416,11 @@ class _RGCANet(nn.Module):
             n_diff_sh=self.n_diff_sh,
             name="decoder",
             **dict(self.decoder_cfg),
-        )(
-            embs, geom, headrel_campos, light_intensity, headrel_light_pos,
-            headrel_light_sh, n_lights, preconv_envmap, lightrot, train,
+        )
+        dec_preds = nn.remat(_call_prim_decoder, static_argnums=(10,))(
+            dec, embs, geom, headrel_campos, light_intensity,
+            headrel_light_pos, headrel_light_sh, n_lights, preconv_envmap,
+            lightrot, train,
         )
 
         preds: Dict[str, Any] = {
