@@ -85,6 +85,9 @@ def rasterize(
     chunk: int = 32,
     pair_budget_mult: int = 8,
     z_near: float = 1e-4,
+    use_pallas: bool = False,
+    pallas_inner: int = 32,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-pixel face index image [H, W], -1 where empty (z-buffered)."""
     ntx = -(-img_w // tile_size)
@@ -114,6 +117,19 @@ def rasterize(
     inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
     # perspective: interpolate 1/z with screen barys
     inv_z = 1.0 / jnp.clip(z, min=z_near)  # [F, 3]
+
+    if use_pallas:
+        from goliath_tpu.ops.rasterizer_pallas import rasterize_zbuffer_pallas
+
+        index_img, _ = rasterize_zbuffer_pallas(
+            an, bn, cn, jnp.abs(inv_area), inv_z,
+            valid.astype(an.dtype),
+            binning.sorted_prim, binning.tile_start, binning.tile_end,
+            img_h, img_w, tile_size, ntx, nty,
+            chunk=chunk, inner=pallas_inner,
+            max_faces_per_tile=max_faces_per_tile, interpret=interpret,
+        )
+        return index_img
 
     ty_, tx_ = jnp.meshgrid(
         jnp.arange(tile_size, dtype=jnp.float32),
