@@ -31,6 +31,10 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
     import jax
     import jax.numpy as jnp
 
+    import goliath_tpu
+
+    goliath_tpu.enable_compilation_cache()
+
     from goliath_tpu.data.synthetic import SyntheticDataset
     from goliath_tpu.losses import ModularLoss
     from goliath_tpu.models.rgca import AutoEncoder

@@ -15,3 +15,26 @@ Design, not a port:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Point jax at a persistent on-disk compilation cache.
+
+    Full-res RGCA step compiles run ~1 min; the bench ladder and the driver
+    re-run identical programs across subprocesses and rounds, so caching the
+    executables is a large wall-clock win. Safe to call before or after the
+    backend initializes; harmless if the backend ignores it.
+    """
+    import jax
+
+    cache = path or _os.environ.get(
+        "GOLIATH_TPU_COMP_CACHE", "/root/.cache/goliath_jax_cache")
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax or read-only fs: cache is best-effort
+        pass

@@ -51,7 +51,15 @@ class ModelFacade:
     def init(self, rng: jax.Array, batch: Dict[str, Any]) -> Any:
         inputs = self.filter_inputs(batch)
         rngs = {"params": rng, "noise": jax.random.fold_in(rng, 1)}
-        return self.module.init(rngs, **inputs, train=False)
+
+        # jit the init: eager flax init dispatches every op individually,
+        # which over the axon TPU tunnel costs ~ms of round-trip latency per
+        # op (a full-res RGCA init was measured at ~20 min eager vs ~1 min
+        # compiled)
+        def _init(rngs, inputs):
+            return self.module.init(rngs, **inputs, train=False)
+
+        return jax.jit(_init)(rngs, inputs)
 
     def apply(self, params: Any, batch: Dict[str, Any], train: bool = False,
               rngs: Optional[Dict[str, jax.Array]] = None) -> Dict[str, Any]:

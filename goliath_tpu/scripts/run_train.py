@@ -17,6 +17,7 @@ from typing import Any, Dict
 import jax
 import yaml
 
+import goliath_tpu
 from goliath_tpu.config import Config, load_config, load_from_config
 from goliath_tpu import train as train_lib
 from goliath_tpu.data.pipeline import DataLoader
@@ -45,6 +46,7 @@ def build_dataset(data_cfg: Dict[str, Any], **kwargs):
 
 
 def main(config: Config) -> None:
+    goliath_tpu.enable_compilation_cache()
     dataset = build_dataset(config.data)
     static_assets = dataset.static_assets
 

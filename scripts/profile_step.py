@@ -1,0 +1,226 @@
+"""Component-level timing for the RGCA train step on the attached TPU.
+
+Times, in separate jitted programs:
+  binning      — project + depth sort + bin_to_tiles (renderer front-end)
+  render_fwd   — full render() forward (pallas or xla)
+  render_bwd   — render() fwd+bwd (grad wrt gaussian params)
+  model_fwd    — model forward with the splat render REPLACED by a cheap sum
+                 (isolates encoder/decoder/SH/spec cost)
+  model_bwd    — same, fwd+bwd
+  loss_only    — loss pipeline on fixed preds (SSIM at full res etc.)
+  full_step    — the real train step (same as bench.py)
+
+Usage: GOLIATH_PROF_PALLAS=1 python scripts/profile_step.py [sections...]
+Env: GOLIATH_PROF_{IMG_H,IMG_W,UV,BATCH} (defaults 2048/1344/1024/1).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, n=4, warmup=1, **kw):
+    for _ in range(warmup):
+        out = fn(*args, **kw)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, out)
+    # host fetch of one leaf — block_until_ready can be a no-op over axon
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = jax.device_get(leaf)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args, **kw)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = jax.device_get(leaf)
+    return (time.time() - t0) / n
+
+
+def main():
+    img_h = int(os.environ.get("GOLIATH_PROF_IMG_H", 2048))
+    img_w = int(os.environ.get("GOLIATH_PROF_IMG_W", 1344))
+    uv = int(os.environ.get("GOLIATH_PROF_UV", 1024))
+    batch = int(os.environ.get("GOLIATH_PROF_BATCH", 1))
+    use_pallas = os.environ.get("GOLIATH_PROF_PALLAS", "1") == "1"
+    sections = set(sys.argv[1:]) or {
+        "binning", "render_fwd", "render_bwd", "model_fwd", "model_bwd",
+        "loss_only", "full_step"}
+
+    from bench import build
+
+    os.environ["GOLIATH_BENCH_PALLAS"] = "1" if use_pallas else "0"
+    model, loss_fn, optimizer, params, opt_state, jb = build(
+        img_h, img_w, uv, batch)
+    N = uv * uv
+    rng = jax.random.PRNGKey(0)
+    it0 = jnp.asarray(0)
+
+    print(f"== profile: {img_h}x{img_w}, uv={uv} (N={N}), batch={batch}, "
+          f"pallas={use_pallas}")
+
+    # synthetic gaussian cloud matching the model's head-relative stats
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    primpos = jax.random.normal(k1, (batch, N, 3)) * 100.0
+    primqvec = jax.random.normal(k2, (batch, N, 4))
+    primqvec = primqvec / jnp.linalg.norm(primqvec, axis=-1, keepdims=True)
+    primscale = jnp.exp(jax.random.normal(k3, (batch, N, 3)) * 0.3) * 2.0
+    opacity = jax.nn.sigmoid(jax.random.normal(k4, (batch, N, 1)))
+    colors = jax.nn.sigmoid(jax.random.normal(k5, (batch, N, 3)))
+    K = jb["K"]
+    Rt = jb["Rt"]
+
+    from goliath_tpu.ops import gsplat
+    from goliath_tpu.ops.binning import bin_to_tiles
+
+    render_cfg = dict(
+        max_pairs_per_tile=int(os.environ.get("GOLIATH_BENCH_MPPT", 512)),
+        chunk=64,
+        pair_budget_mult=int(os.environ.get("GOLIATH_BENCH_PBM", 4)),
+        use_pallas=use_pallas,
+    )
+    tile_size = 16
+    ntx = -(-img_w // tile_size)
+    nty = -(-img_h // tile_size)
+
+    if "binning" in sections:
+        @jax.jit
+        def binning_only(K, Rt, pos, quat, scale):
+            def one(K_b, Rt_b, p, q, s):
+                proj = gsplat.project_gaussians(
+                    p, s, q, Rt_b, K_b[0, 0], K_b[1, 1], K_b[0, 2],
+                    K_b[1, 2], img_h, img_w)
+                order = jnp.argsort(proj["depths"])
+                xys = proj["xys"][order]
+                radii = proj["radii"][order]
+                valid = proj["valid"][order]
+                t_min = jnp.stack(
+                    [jnp.floor((xys[:, 0] - radii) / tile_size),
+                     jnp.floor((xys[:, 1] - radii) / tile_size)], -1
+                ).astype(jnp.int32)
+                t_max = jnp.stack(
+                    [jnp.floor((xys[:, 0] + radii) / tile_size) + 1,
+                     jnp.floor((xys[:, 1] + radii) / tile_size) + 1], -1
+                ).astype(jnp.int32)
+                b = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty,
+                                 64, render_cfg["pair_budget_mult"] * N)
+                return b.sorted_prim.sum() + b.tile_start.sum()
+            return jax.vmap(one)(K, Rt, pos, quat, scale).sum()
+
+        t = timeit(binning_only, K, Rt, primpos, primqvec, primscale)
+        print(f"binning (proj+sort+bin): {t*1e3:8.1f} ms")
+
+    if "render_fwd" in sections:
+        @jax.jit
+        def rfwd(pos, quat, scale, op, col):
+            out = gsplat.render(img_w, img_h, K, Rt, pos, quat, scale, op,
+                                col, **render_cfg)
+            return out["render"].sum()
+
+        t = timeit(rfwd, primpos, primqvec, primscale, opacity, colors)
+        print(f"render fwd:              {t*1e3:8.1f} ms")
+
+    if "render_bwd" in sections:
+        @jax.jit
+        def rbwd(pos, quat, scale, op, col):
+            def f(pos, quat, scale, op, col):
+                out = gsplat.render(img_w, img_h, K, Rt, pos, quat, scale,
+                                    op, col, **render_cfg)
+                return out["render"].sum() + out["alpha"].sum()
+            g = jax.grad(f, argnums=(0, 1, 2, 3, 4))(pos, quat, scale, op,
+                                                     col)
+            return sum(x.sum() for x in g)
+
+        t = timeit(rbwd, primpos, primqvec, primscale, opacity, colors)
+        print(f"render fwd+bwd:          {t*1e3:8.1f} ms")
+
+    if "model_fwd" in sections or "model_bwd" in sections:
+        import goliath_tpu.ops.gsplat as gsplat_mod
+        real_render = gsplat_mod.render
+
+        def fake_render(cam_img_w, cam_img_h, K, Rt, primpos, primqvec,
+                        primscale, opacity, colors, **kw):
+            B = K.shape[0]
+            v = (primpos.sum() + primqvec.sum() + primscale.sum()
+                 + opacity.sum() + colors.sum()) * 1e-9
+            z = jnp.zeros((B, 1, cam_img_h, cam_img_w)) + v
+            rgb = jnp.zeros((B, 3, cam_img_h, cam_img_w)) + v
+            return {"render": rgb, "final_T": 1.0 - z, "alpha": z,
+                    "depth": z, "radii": jnp.zeros(primpos.shape[:2])}
+
+        gsplat_mod.render = fake_render
+        try:
+            if "model_fwd" in sections:
+                @jax.jit
+                def mfwd(p, batch, rng):
+                    preds = model.apply(p, batch, train=True,
+                                        rngs={"noise": rng})
+                    return preds["rgb"].sum()
+
+                t = timeit(mfwd, params, jb, rng)
+                print(f"model fwd (no render):   {t*1e3:8.1f} ms")
+
+            if "model_bwd" in sections:
+                @jax.jit
+                def mbwd(p, batch, rng):
+                    def f(p):
+                        preds = model.apply(p, batch, train=True,
+                                            rngs={"noise": rng})
+                        return preds["rgb"].sum() + preds["geom"].sum()
+                    g = jax.grad(f)(p)
+                    return sum(jnp.sum(x) for x in
+                               jax.tree_util.tree_leaves(g))
+
+                t = timeit(mbwd, params, jb, rng)
+                print(f"model fwd+bwd (no rndr): {t*1e3:8.1f} ms")
+        finally:
+            gsplat_mod.render = real_render
+
+    if "loss_only" in sections:
+        fake_preds = {
+            "rgb": jnp.zeros((batch, 3, img_h, img_w)) + 0.3,
+            "alpha": jnp.ones((batch, 1, img_h, img_w)) * 0.5,
+            "geom": jb["registration_vertices"] * 1.01,
+            "embs_mu": jnp.zeros((batch, 256)),
+            "embs_logvar": jnp.zeros((batch, 256)),
+            "primscale_preclip": primscale,
+            "color": colors,
+            "learn_blur_weights": jnp.ones((batch, 2)),
+        }
+
+        @jax.jit
+        def lonly(preds, batch):
+            return loss_fn(preds, batch, it0)[0]
+
+        t = timeit(lonly, fake_preds, jb)
+        print(f"loss only:               {t*1e3:8.1f} ms")
+
+    if "full_step" in sections:
+        import optax
+
+        @jax.jit
+        def step(params, opt_state, batch, rng, it):
+            def loss(p):
+                preds = model.apply(p, batch, train=True,
+                                    rngs={"noise": rng})
+                return loss_fn(preds, batch, it)[0]
+            total, grads = jax.value_and_grad(loss)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, total
+
+        def run_step(params, opt_state):
+            p2, o2, tot = step(params, opt_state, jb, rng, it0)
+            return tot
+
+        t = timeit(run_step, params, opt_state)
+        print(f"full step:               {t*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
