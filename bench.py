@@ -53,7 +53,8 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
         n_embs=256, n_diff_sh=8, learn_blur=True, uv_size=uv,
         render={
             "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 512)),
-            "chunk": 64,
+            "chunk": int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
+            "pallas_inner": int(os.environ.get("GOLIATH_BENCH_INNER", 256)),
             "pair_budget_mult": int(os.environ.get("GOLIATH_BENCH_PBM", 4)),
             "use_pallas": os.environ.get("GOLIATH_BENCH_PALLAS", "1") == "1",
         },

@@ -31,6 +31,8 @@ class TileBinning(NamedTuple):
     inv_perm: jnp.ndarray      # [budget] pre-sort slot -> sorted position
     prim_offsets: jnp.ndarray  # [N] first pre-sort slot of each prim
     prim_ends: jnp.ndarray     # [N] one-past-last pre-sort slot of each prim
+    tile_of_pair: jnp.ndarray  # [budget] owning tile id per sorted pair
+                               # (== num_tiles for unused slots)
     num_tiles_x: int
     num_tiles_y: int
 
@@ -80,10 +82,15 @@ def bin_to_tiles(
     # pair buffer looks up its owning prim with a vectorized binary search
     # (slot s belongs to the prim whose [offset, end) range contains s).
     slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    # method='sort' — the default 'scan' binary search is ~50x slower on TPU
-    prim_of_slot = jnp.searchsorted(
-        ends, slots, side="right", method="sort"
-    ).astype(jnp.int32)  # [budget]; == N for slots past the last pair
+    # prim_of_slot[s] = #{i : ends[i] <= s} (== searchsorted(ends, s,
+    # 'right')). Because the queries are the iota, this is a bincount of the
+    # ends + an inclusive cumsum — one [N] scatter-add and one [budget]
+    # cumsum instead of the 5M-element merge sort searchsorted costs on TPU.
+    marks = jnp.zeros(pair_budget, jnp.int32).at[
+        jnp.clip(ends, 0, pair_budget - 1).astype(jnp.int32)
+    ].add(jnp.where(ends < pair_budget, 1, 0).astype(jnp.int32),
+          mode="drop")
+    prim_of_slot = jnp.cumsum(marks)  # [budget]; == N for slots past the end
     in_range = prim_of_slot < N
     p = jnp.clip(prim_of_slot, 0, N - 1)
     # one row-gather instead of four random gathers (gathers on TPU are
@@ -103,24 +110,27 @@ def bin_to_tiles(
     vals = jnp.where(in_range, p, 0).astype(jnp.int32)
 
     # stable sort by tile id keeps depth order within a tile; carry the
-    # originating slot so the permutation can be inverted scatter-free
+    # originating slot so the permutation can be inverted
     # (backward reductions walk pairs in pre-sort, prim-contiguous order)
     keys_sorted, perm = jax.lax.sort((keys, slots), num_keys=1,
                                      is_stable=True)
     vals_sorted = vals[perm]
-    # invert the permutation with a second sort (no scatter)
-    _, inv_perm = jax.lax.sort((perm, slots), num_keys=1, is_stable=True)
+    # invert the permutation with a unique-index scatter (a second 4M sort
+    # costs ~10x more than the scatter on TPU)
+    inv_perm = jnp.zeros((pair_budget,), jnp.int32).at[perm].set(
+        slots, mode="drop", unique_indices=True)
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(keys_sorted, tile_ids, side="left").astype(
-        jnp.int32
-    )
-    tile_end = jnp.searchsorted(keys_sorted, tile_ids, side="right").astype(
-        jnp.int32
-    )
+    # both segment bounds from ONE searchsorted: tile_end[t] ==
+    # tile_start[t+1] for integer keys (unused slots carry the sentinel
+    # key == num_tiles, which lands past every real tile)
+    tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(
+        keys_sorted, tile_ids, side="left", method="sort").astype(jnp.int32)
+    tile_start = bounds[:-1]
+    tile_end = bounds[1:]
     return TileBinning(vals_sorted, tile_start, tile_end, inv_perm,
                        offsets.astype(jnp.int32), ends.astype(jnp.int32),
-                       num_tiles_x, num_tiles_y)
+                       keys_sorted, num_tiles_x, num_tiles_y)
 
 
 class CellBinning(NamedTuple):

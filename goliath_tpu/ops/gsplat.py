@@ -232,7 +232,7 @@ def rasterize_tiled(
     chunk: int, ntx: int, nty: int,
 ):
     """binning_arrays: (sorted_prim, tile_start, tile_end, valid,
-    inv_perm, prim_offsets, prim_ends) — arrays only; static tile-grid dims
+    inv_perm, prim_offsets, prim_ends, tile_of_pair) — arrays only; static tile-grid dims
     travel as nondiff args so they stay Python ints under jit (custom_vjp
     lifts every pytree leaf to a tracer)."""
     out, T_final = _rasterize_fwd_impl(
@@ -318,10 +318,18 @@ def _rasterize_fwd(xys, conics, opacities, colors, binning_arrays,
 def reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets, prim_ends):
     """Reduce per-pair grads (sorted-pair order [budget, F]) to per-prim sums
     [N, F] without scatter-add: permute into pre-sort order where each prim's
-    pairs are contiguous, then per-prim sums are prefix-sum differences."""
+    pairs are contiguous, then per-prim sums are prefix-sum differences.
+
+    The prefix sum runs as a single-pass Pallas kernel on TPU (XLA's cumsum
+    at 4M x 16 costs ~250ms; the carry kernel is ~10x cheaper)."""
     budget = sorted_g.shape[0]
     presort_g = sorted_g[inv_perm]                                  # [budget, F]
-    csum = jnp.cumsum(presort_g.astype(jnp.float32), axis=0)
+    if jax.default_backend() == "tpu":
+        from goliath_tpu.ops.gsplat_pallas import cumsum_rows_pl
+
+        csum = cumsum_rows_pl(presort_g.astype(jnp.float32))
+    else:
+        csum = jnp.cumsum(presort_g.astype(jnp.float32), axis=0)
     lo = jnp.where(prim_offsets > 0, prim_offsets - 1, 0)
     start_vals = jnp.where((prim_offsets > 0)[:, None], csum[lo], 0.0)
     end_idx = jnp.clip(prim_ends - 1, 0, budget - 1)
@@ -334,7 +342,7 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
     xys, conics, opacities, colors, binning_arrays, T_final = res
     dL_dout, dL_dT = grads
     (sorted_prim, tile_start, tile_end, valid,
-     inv_perm, prim_offsets, prim_ends) = binning_arrays
+     inv_perm, prim_offsets, prim_ends) = binning_arrays[:7]
     P = tile_size * tile_size
     rows = _pack_rows(xys, conics, opacities, colors, valid, sorted_prim)
     rows = jnp.pad(rows, ((0, max_pairs_per_tile), (0, 0)))
@@ -467,7 +475,7 @@ def render(
     chunk: int = 64,
     pair_budget_mult: int = 4,
     use_pallas: bool = False,
-    pallas_inner: int = 64,
+    pallas_inner: int = 256,
 ) -> Dict[str, jnp.ndarray]:
     """Batched gaussian-splat render (reference render_gsplat.py:13-108).
 
@@ -511,6 +519,7 @@ def render(
         barrays = (
             binning.sorted_prim, binning.tile_start, binning.tile_end, valid,
             binning.inv_perm, binning.prim_offsets, binning.prim_ends,
+            binning.tile_of_pair,
         )
         if use_pallas:
             from goliath_tpu.ops.gsplat_pallas import rasterize_tiled_pl

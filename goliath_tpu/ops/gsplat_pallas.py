@@ -42,6 +42,126 @@ T_EPS = 1e-4
 # set True to run the kernels in interpret mode (CPU tests)
 INTERPRET = False
 
+# precision of the log-space prefix matmuls. HIGHEST (6-pass f32) is the
+# safe default; HIGH (bf16x3, ~f32 accuracy for the <=46-magnitude logs
+# involved) halves MXU passes — switchable for perf experiments.
+import os as _os  # noqa: E402
+
+PREFIX_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("GOLIATH_PALLAS_PREC", "highest").lower()]
+
+
+# ---------------------------------------------------------------------------
+# sequential-carry cumsum kernels
+# ---------------------------------------------------------------------------
+#
+# XLA's cumsum at multi-million scale on TPU decomposes into O(log n) full
+# passes over HBM and measures ~250ms on the [4M, 16] pair-grad reduction;
+# a single Pallas pass with a [1, F] carry in VMEM scratch does it in one
+# read+write of the data (grid steps run sequentially on TPU, so the carry
+# is well-defined).
+
+
+def _cumsum_rows_kernel(x_ref, out_ref, carry_scr, *, block: int, F: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_scr[:] = jnp.zeros((1, F), jnp.float32)
+
+    x = x_ref[...]                                       # [block, F]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    tri = (col_i <= row_i).astype(jnp.float32)
+    cs = jax.lax.dot_general(
+        tri, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + carry_scr[:]
+    out_ref[...] = cs
+    carry_scr[:] = cs[block - 1:block]
+
+
+def cumsum_rows_pl(x: jnp.ndarray, block: int = 512,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Cumulative sum along axis 0 of a [M, F] f32 array, one HBM pass."""
+    M, F = x.shape
+    pad = (-M) % block
+    xp = jnp.pad(x.astype(jnp.float32), ((0, pad), (0, 0)))
+    nb = (M + pad) // block
+    out = pl.pallas_call(
+        functools.partial(_cumsum_rows_kernel, block=block, F=F),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((block, F), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((block, F), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M + pad, F), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, F), jnp.float32)],
+        interpret=interpret,
+    )(xp)
+    return out[:M]
+
+
+def _cumsum1d_kernel(x_ref, out_ref, carry_scr, *, rows: int, lanes: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_scr[:] = jnp.zeros((1, 1), jnp.float32)
+
+    x = x_ref[...]                                       # [rows, lanes]
+    ones = jnp.ones((lanes, 1), jnp.float32)
+    rowsum = jax.lax.dot_general(                        # [rows, 1]
+        x, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    tri_excl = (c_i < r_i).astype(jnp.float32)
+    row_pre = jax.lax.dot_general(                       # [rows, 1] excl.
+        tri_excl, rowsum, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    m_i = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+    triR = (l_i <= m_i).astype(jnp.float32)              # inclusive in-row
+    in_row = jax.lax.dot_general(
+        x, triR, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[...] = in_row + row_pre + carry_scr[:]
+    carry_scr[:] = carry_scr[:] + row_pre[rows - 1:rows] \
+        + rowsum[rows - 1:rows]
+
+
+def cumsum1d_pl(x: jnp.ndarray, rows: int = 512, lanes: int = 128,
+                interpret: bool = False) -> jnp.ndarray:
+    """Inclusive 1-D cumsum of an [M] array in one HBM pass (f32 carry).
+
+    Exact for int32 inputs as long as the total stays below 2^24 (f32
+    mantissa), which holds for pair budgets < 16M.
+    """
+    (M,) = x.shape
+    blk = rows * lanes
+    pad = (-M) % blk
+    xp = jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(-1, lanes)
+    nb = xp.shape[0] // rows
+    out = pl.pallas_call(
+        functools.partial(_cumsum1d_kernel, rows=rows, lanes=lanes),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((rows, lanes), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((rows, lanes), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(xp)
+    return out.reshape(-1)[:M]
+
 
 def _compositor_kernel(
     start_ref, end_ref,        # scalar prefetch [T]
@@ -105,7 +225,7 @@ def _compositor_kernel(
             cum = jnp.exp(jax.lax.dot_general(
                 tri, jnp.log(one_m), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=PREFIX_PRECISION,
             ))
             T = T_scr[:]
             T_excl = T * cum / one_m                   # [IN, P]
@@ -118,7 +238,12 @@ def _compositor_kernel(
             T_scr[:] = T * cum[inner - 1:inner]
             return 0
 
-        lax.fori_loop(0, chunk // inner, sub, 0)
+        # only visit sub-chunks that intersect [start, end): with large DMA
+        # blocks (chunk >> inner) most tiles fill a fraction of their last
+        # block, and full-block loops would burn VPU time on masked rows
+        lo = jnp.maximum(start - base, 0) // inner
+        hi = (jnp.minimum(end - base, chunk) + inner - 1) // inner
+        lax.fori_loop(lo, hi, sub, 0)
 
     @pl.when(j == nj - 1)
     def _():
@@ -144,6 +269,7 @@ def rasterize_tiled_pallas_fwd(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-only Pallas compositor. Returns ([C, H, W], T [H, W])."""
+    inner = min(inner, chunk)
     N, C = colors.shape
     budget = sorted_prim.shape[0]
     P = tile_size * tile_size
@@ -261,6 +387,8 @@ def _compositor_bwd_kernel(
 
     @pl.when(have_work)
     def _():
+        # skipped sub-chunks below must leave zero grads, not garbage
+        out_ref[0] = jnp.zeros((chunk, 16), jnp.float32)
         tx = (t % ntx) * tile_size
         ty = (t // ntx) * tile_size
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
@@ -272,8 +400,11 @@ def _compositor_bwd_kernel(
         tri_inc = (col_i >= row_i).astype(jnp.float32)   # suffix incl. self
         tri_exc = (col_i > row_i).astype(jnp.float32)    # strict suffix
 
+        lo = jnp.maximum(start - base, 0) // inner
+        hi = (jnp.minimum(end - base, chunk) + inner - 1) // inner
+
         def sub(si, _):
-            off = (chunk // inner - 1 - si) * inner      # far-to-near
+            off = (lo + hi - 1 - si) * inner             # far-to-near
             data = rows_ref[pl.ds(off, inner), :]        # [IN, F]
             ridx = base + off + jax.lax.broadcasted_iota(
                 jnp.int32, (inner, 1), 0)
@@ -297,7 +428,7 @@ def _compositor_bwd_kernel(
             suff_inc = jax.lax.dot_general(
                 tri_inc, lg, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=PREFIX_PRECISION,
             )                                            # [IN, P]
             T_i = T_scr[:] * jnp.exp(
                 jnp.minimum(-suff_inc, _LOG_CLIP))       # T before elem i
@@ -310,7 +441,7 @@ def _compositor_bwd_kernel(
             R_i = R_scr[:] + jax.lax.dot_general(        # suffix of wq
                 tri_exc, wq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=PREFIX_PRECISION,
             )                                            # [IN, P]
             inv_one_m = 1.0 / jnp.maximum(one_m, 1e-3)
             dalpha = jnp.where(keep, q * T_i - R_i * inv_one_m, 0.0)
@@ -337,12 +468,12 @@ def _compositor_bwd_kernel(
                 -jnp.sum(lg, axis=0, keepdims=True), _LOG_CLIP))
             return 0
 
-        lax.fori_loop(0, chunk // inner, sub, 0)
+        lax.fori_loop(lo, hi, sub, 0)
 
 
 def pair_grads_pallas(
     xys, conics, opacities, colors, valid,
-    sorted_prim, tile_start, tile_end,
+    sorted_prim, tile_start, tile_end, tile_of_pair,
     dL_dout,                   # [C, H, W]
     dL_dT,                     # [H, W]
     T_final,                   # [H, W]
@@ -355,6 +486,7 @@ def pair_grads_pallas(
 ) -> jnp.ndarray:
     """Per-pair gradient rows in sorted-pair order [budget, 6+C]:
     (dx, dy, d_conic(3), d_opacity, d_color(C))."""
+    inner = min(inner, chunk)
     N, C = colors.shape
     budget = sorted_prim.shape[0]
     P = tile_size * tile_size
@@ -417,13 +549,15 @@ def pair_grads_pallas(
         interpret=interpret,
     )(tile_start, tile_end, cnt, rows, g)
 
-    # gather private per-tile blocks back into sorted-pair order
+    # gather private per-tile blocks back into sorted-pair order; the owning
+    # tile of each sorted pair comes straight from the binning (tile_of_pair
+    # is the sorted key array — re-deriving it here would cost another 4M
+    # merge sort)
     out_flat = out.reshape(T_tiles * nchunks * chunk, 16)
     s = jnp.arange(budget, dtype=jnp.int32)
-    t_of = (jnp.searchsorted(tile_start, s, side="right", method="sort")
-            .astype(jnp.int32) - 1)
-    t_of = jnp.clip(t_of, 0, T_tiles - 1)
-    ok = (s >= tile_start[t_of]) & (s < tile_end[t_of])
+    t_of = jnp.clip(tile_of_pair, 0, T_tiles - 1)
+    ok = (tile_of_pair < T_tiles) & (s >= tile_start[t_of]) \
+        & (s < tile_end[t_of])
     align = (tile_start[t_of] // chunk) * chunk
     # pairs past the per-tile block budget were never composited by the fwd
     # (and have no private-buffer slot): without this guard their idx spills
@@ -484,10 +618,10 @@ def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
     xys, conics, opacities, colors, binning_arrays, T_final, cnt = res
     dL_dout, dL_dT = grads
     (sorted_prim, tile_start, tile_end, valid,
-     inv_perm, prim_offsets, prim_ends) = binning_arrays
+     inv_perm, prim_offsets, prim_ends, tile_of_pair) = binning_arrays
     sorted_g = pair_grads_pallas(
         xys, conics, opacities, colors, valid.astype(xys.dtype),
-        sorted_prim, tile_start, tile_end,
+        sorted_prim, tile_start, tile_end, tile_of_pair,
         dL_dout, dL_dT, T_final, cnt,
         img_h, img_w, tile_size, ntx, nty,
         chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,

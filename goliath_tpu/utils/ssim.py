@@ -15,24 +15,36 @@ from jax import lax
 
 
 @lru_cache(maxsize=None)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_taps(window_size: int, sigma: float) -> tuple:
     g = np.exp(
         -((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma**2)
     )
     g = g / g.sum()
-    w = np.outer(g, g).astype(np.float32)
-    return w[None, None]  # [1, 1, K, K]
+    return tuple(float(v) for v in g)
 
 
-def _depthwise(x: jnp.ndarray, w2d: np.ndarray) -> jnp.ndarray:
-    """Depthwise conv [B, C, H, W] with shared 2D window, same padding."""
-    C = x.shape[1]
-    k = w2d.shape[-1]
-    w = jnp.asarray(np.repeat(w2d, C, axis=0))  # [C, 1, K, K]
-    return lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=[(k // 2, k // 2)] * 2,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
-    )
+def _depthwise(x: jnp.ndarray, taps: tuple) -> jnp.ndarray:
+    """Separable gaussian blur over [B, C, H, W] as shift-and-add.
+
+    Depthwise lax convs don't tile onto the MXU (1 input channel per group)
+    and lower to slow scalarized VPU loops on TPU; K static slices + FMAs
+    per axis fuse into one fast elementwise pass and cut the taps from K^2
+    to 2K. Zero padding matches the conv's 'same' behavior.
+    """
+    K = len(taps)
+    r = K // 2
+    H, W = x.shape[2], x.shape[3]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)))
+    acc = None
+    for k in range(K):
+        term = taps[k] * lax.slice_in_dim(xp, k, k + H, axis=2)
+        acc = term if acc is None else acc + term
+    xp = jnp.pad(acc, ((0, 0), (0, 0), (0, 0), (r, r)))
+    acc = None
+    for k in range(K):
+        term = taps[k] * lax.slice_in_dim(xp, k, k + W, axis=3)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def ssim(
@@ -43,7 +55,7 @@ def ssim(
     sigma: float = 1.5,
 ) -> jnp.ndarray:
     """Mean SSIM over [B, C, H, W]; if mask [B, 1, H, W], mean over masked px."""
-    w = _gaussian_window(window_size, sigma)
+    w = _gaussian_taps(window_size, sigma)
     mu1 = _depthwise(img1, w)
     mu2 = _depthwise(img2, w)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -81,7 +81,8 @@ def main():
 
     render_cfg = dict(
         max_pairs_per_tile=int(os.environ.get("GOLIATH_BENCH_MPPT", 512)),
-        chunk=64,
+        chunk=int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
+        pallas_inner=int(os.environ.get("GOLIATH_BENCH_INNER", 256)),
         pair_budget_mult=int(os.environ.get("GOLIATH_BENCH_PBM", 4)),
         use_pallas=use_pallas,
     )
@@ -182,6 +183,168 @@ def main():
         finally:
             gsplat_mod.render = real_render
 
+    if "bwd_parts" in sections:
+        # split the render backward into (pallas grad kernel + gather) vs
+        # (per-prim reduction): in-graph timing, not standalone micro ops
+        from goliath_tpu.ops.gsplat import (
+            project_gaussians, reduce_sorted_pair_grads,
+        )
+        from goliath_tpu.ops.gsplat_pallas import (
+            pair_grads_pallas, rasterize_tiled_pallas_fwd,
+        )
+
+        mppt = render_cfg["max_pairs_per_tile"]
+        chunk = render_cfg["chunk"]
+        inner = render_cfg["pallas_inner"]
+
+        def make_binned(K_b, Rt_b, pos, quat, scale, op, col):
+            proj = gsplat.project_gaussians(
+                pos, scale, quat, Rt_b, K_b[0, 0], K_b[1, 1], K_b[0, 2],
+                K_b[1, 2], img_h, img_w)
+            order = jnp.argsort(proj["depths"])
+            xys = proj["xys"][order]
+            conics = proj["conics"][order]
+            radii = proj["radii"][order]
+            valid = proj["valid"][order]
+            op_s = (op.reshape(-1))[order][:, None]
+            chan = col[order]
+            t_min = jnp.stack(
+                [jnp.floor((xys[:, 0] - radii) / tile_size),
+                 jnp.floor((xys[:, 1] - radii) / tile_size)], -1
+            ).astype(jnp.int32)
+            t_max = jnp.stack(
+                [jnp.floor((xys[:, 0] + radii) / tile_size) + 1,
+                 jnp.floor((xys[:, 1] + radii) / tile_size) + 1], -1
+            ).astype(jnp.int32)
+            b = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty,
+                             64, render_cfg["pair_budget_mult"] * N)
+            return xys, conics, op_s, chan, valid, b
+
+        @jax.jit
+        def kernel_fwd_only(K, Rt, pos, quat, scale, op, col):
+            xys, conics, op_s, chan, valid, b = make_binned(
+                K[0], Rt[0], pos[0], quat[0], scale[0], op[0], col[0])
+            out, Tf, cnt = rasterize_tiled_pallas_fwd(
+                xys, conics, op_s, chan, valid.astype(jnp.float32),
+                b.sorted_prim, b.tile_start, b.tile_end,
+                img_h, img_w, tile_size, ntx, nty,
+                chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
+            return out.sum()
+
+        t = timeit(kernel_fwd_only, K, Rt, primpos, primqvec, primscale,
+                   opacity, colors)
+        print(f"bin+fwd kernel only:     {t*1e3:8.1f} ms")
+
+        @jax.jit
+        def kernel_bwd(K, Rt, pos, quat, scale, op, col):
+            xys, conics, op_s, chan, valid, b = make_binned(
+                K[0], Rt[0], pos[0], quat[0], scale[0], op[0], col[0])
+            out, Tf, cnt = rasterize_tiled_pallas_fwd(
+                xys, conics, op_s, chan, valid.astype(jnp.float32),
+                b.sorted_prim, b.tile_start, b.tile_end,
+                img_h, img_w, tile_size, ntx, nty,
+                chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
+            C = chan.shape[-1]
+            sorted_g = pair_grads_pallas(
+                xys, conics, op_s, chan, valid.astype(jnp.float32),
+                b.sorted_prim, b.tile_start, b.tile_end, b.tile_of_pair,
+                jnp.ones_like(out), jnp.ones_like(Tf), Tf, cnt,
+                img_h, img_w, tile_size, ntx, nty,
+                chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
+            return sorted_g.sum()
+
+        t = timeit(kernel_bwd, K, Rt, primpos, primqvec, primscale,
+                   opacity, colors)
+        print(f"bin+fwd+bwd kernels:     {t*1e3:8.1f} ms")
+
+        @jax.jit
+        def kernel_bwd_reduce(K, Rt, pos, quat, scale, op, col):
+            xys, conics, op_s, chan, valid, b = make_binned(
+                K[0], Rt[0], pos[0], quat[0], scale[0], op[0], col[0])
+            out, Tf, cnt = rasterize_tiled_pallas_fwd(
+                xys, conics, op_s, chan, valid.astype(jnp.float32),
+                b.sorted_prim, b.tile_start, b.tile_end,
+                img_h, img_w, tile_size, ntx, nty,
+                chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
+            sorted_g = pair_grads_pallas(
+                xys, conics, op_s, chan, valid.astype(jnp.float32),
+                b.sorted_prim, b.tile_start, b.tile_end, b.tile_of_pair,
+                jnp.ones_like(out), jnp.ones_like(Tf), Tf, cnt,
+                img_h, img_w, tile_size, ntx, nty,
+                chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
+            acc = reduce_sorted_pair_grads(
+                sorted_g, b.inv_perm, b.prim_offsets, b.prim_ends)
+            return acc.sum()
+
+        t = timeit(kernel_bwd_reduce, K, Rt, primpos, primqvec, primscale,
+                   opacity, colors)
+        print(f"bin+fwd+bwd+reduce:      {t*1e3:8.1f} ms")
+
+    if "parts" in sections:
+        import numpy as np
+
+        from goliath_tpu.models.rgca import Encoder, PrimDecoder
+
+        V = jb["registration_vertices"].shape[1]
+        enc = Encoder(n_embs=256, n_verts_in=V, tex_size=uv, noise_std=1.0)
+        everts = jb["registration_vertices"]
+        ecolor = jnp.ones((batch, 3, uv, uv)) * 128.0
+        eparams = jax.jit(lambda r: enc.init(
+            {"params": r, "noise": r}, everts, ecolor, True))(rng)
+
+        @jax.jit
+        def efwd(p, v, c):
+            return enc.apply(p, v, c, True, rngs={"noise": rng})["embs"].sum()
+
+        t = timeit(efwd, eparams, everts, ecolor)
+        print(f"encoder fwd:             {t*1e3:8.1f} ms")
+
+        @jax.jit
+        def ebwd(p, v, c):
+            g = jax.grad(lambda p: enc.apply(
+                p, v, c, True, rngs={"noise": rng})["embs"].sum())(p)
+            return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+        t = timeit(ebwd, eparams, everts, ecolor)
+        print(f"encoder fwd+bwd:         {t*1e3:8.1f} ms")
+
+        dec = PrimDecoder(
+            n_embs=256, geo_fn=model.geo_fn,
+            color_mean=np.ones((3, uv, uv), np.float32) * 128,
+            slabsize=uv, n_diff_sh=8, n_color_sh=3)
+        embs = jnp.zeros((batch, 256))
+        geom = jb["registration_vertices"]
+        campos = jb["campos"]
+        li = jnp.ones((batch, 5, 3))
+        lp = jnp.ones((batch, 5, 3)) * 100
+        lsh = jnp.ones((batch, 3, 81))
+        nl = jnp.full((batch,), 5)
+        dparams = jax.jit(lambda r: dec.init(
+            {"params": r, "noise": r}, embs, geom, campos, li, lp, lsh,
+            nl, None, None, True))(rng)
+
+        @jax.jit
+        def dfwd(p, embs, geom):
+            out = dec.apply(p, embs, geom, campos, li, lp, lsh, nl, None,
+                            None, True, rngs={"noise": rng})
+            return out["color"].sum() + out["primpos"].sum()
+
+        t = timeit(dfwd, dparams, embs, geom)
+        print(f"decoder fwd:             {t*1e3:8.1f} ms")
+
+        @jax.jit
+        def dbwd(p, embs, geom):
+            g = jax.grad(lambda p: dfwd_inner(p, embs, geom))(p)
+            return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+        def dfwd_inner(p, embs, geom):
+            out = dec.apply(p, embs, geom, campos, li, lp, lsh, nl, None,
+                            None, True, rngs={"noise": rng})
+            return out["color"].sum() + out["primpos"].sum()
+
+        t = timeit(dbwd, dparams, embs, geom)
+        print(f"decoder fwd+bwd:         {t*1e3:8.1f} ms")
+
     if "loss_only" in sections:
         fake_preds = {
             "rgb": jnp.zeros((batch, 3, img_h, img_w)) + 0.3,
@@ -191,6 +354,7 @@ def main():
             "embs_logvar": jnp.zeros((batch, 256)),
             "primscale_preclip": primscale,
             "color": colors,
+            "diff_color": colors - 0.5,
             "learn_blur_weights": jnp.ones((batch, 2)),
         }
 

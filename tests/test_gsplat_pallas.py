@@ -60,7 +60,7 @@ def test_pallas_vjp_matches_xla(rng):
     binning = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty, 64)
     barrays = (binning.sorted_prim, binning.tile_start, binning.tile_end,
                valid, binning.inv_perm, binning.prim_offsets,
-               binning.prim_ends)
+               binning.prim_ends, binning.tile_of_pair)
 
     def loss_xla(xys, conics, op, col):
         out, T = gsplat.rasterize_tiled(
@@ -126,7 +126,7 @@ def test_pallas_overflow_tile_grads(rng):
     binning = bin_to_tiles(t_min, t_max, valid, ntx, nty, 16, 4 * N)
     barrays = (binning.sorted_prim, binning.tile_start, binning.tile_end,
                valid, binning.inv_perm, binning.prim_offsets,
-               binning.prim_ends)
+               binning.prim_ends, binning.tile_of_pair)
     # confirm the scene actually overflows the block budget on tile 0
     npairs0 = int(binning.tile_end[0] - binning.tile_start[0])
     nblock_cap = (maxppt // chunk + 1) * chunk
@@ -191,3 +191,19 @@ def test_pallas_overflow_tile_grads(rng):
     over = sorted_prim[align0 + nblock_cap:int(binning.tile_end[0])]
     assert len(over) > 0
     np.testing.assert_allclose(g[over], 0.0, atol=1e-7)
+
+
+def test_cumsum_kernels_interpret(rng):
+    """Pallas carry-cumsum kernels match numpy (interpret mode)."""
+    from goliath_tpu.ops import gsplat_pallas as gp
+
+    x = rng.standard_normal((1000, 10)).astype(np.float32)
+    out = gp.cumsum_rows_pl(jnp.asarray(x), block=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.cumsum(x, 0),
+                               rtol=1e-5, atol=1e-3)
+
+    v = rng.randint(0, 7, size=5000).astype(np.int32)
+    out1 = gp.cumsum1d_pl(jnp.asarray(v), rows=16, lanes=128,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(out1).astype(np.int64),
+                                  np.cumsum(v))
