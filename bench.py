@@ -52,10 +52,11 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
         cal={"identity_camera": ds.static_assets.camera_ids[0]},
         n_embs=256, n_diff_sh=8, learn_blur=True, uv_size=uv,
         render={
-            "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 512)),
+            "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 2048)),
             "chunk": int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
-            "pallas_inner": int(os.environ.get("GOLIATH_BENCH_INNER", 256)),
-            "pair_budget_mult": int(os.environ.get("GOLIATH_BENCH_PBM", 4)),
+            "pallas_inner": int(os.environ.get("GOLIATH_BENCH_INNER", 64)),
+            "tile_size": int(os.environ.get("GOLIATH_BENCH_TS", 32)),
+            "pair_budget_mult": int(os.environ.get("GOLIATH_BENCH_PBM", 2)),
             "use_pallas": os.environ.get("GOLIATH_BENCH_PALLAS", "1") == "1",
         },
     )

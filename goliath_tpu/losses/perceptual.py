@@ -153,6 +153,20 @@ def _silu(x):
 def _conv_nchw(x, w, b, stride=1, groups=1):
     k = w.shape[-1]
     pad = (k - 1) // 2
+    if groups > 1 and groups == x.shape[1] and w.shape[1] == 1:
+        # depthwise: grouped lax convs scalarize on TPU (no MXU path for
+        # 1-input-channel groups); k^2 shifted FMAs with per-channel
+        # weights fuse into one vectorized elementwise pass
+        B, C, H, W = x.shape
+        xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        acc = None
+        for i in range(k):
+            for j in range(k):
+                term = w[:, 0, i, j][None, :, None, None] * lax.slice(
+                    xp, (0, 0, i, j), (B, C, i + H, j + W),
+                    (1, 1, stride, stride))
+                acc = term if acc is None else acc + term
+        return acc + b[None, :, None, None]
     y = lax.conv_general_dilated(
         x, w, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),

@@ -16,26 +16,36 @@ from jax import lax
 
 
 @lru_cache(maxsize=None)
-def _gauss_kernel2d(ksize: int) -> np.ndarray:
+def _gauss_taps(ksize: int) -> tuple:
     # torchvision gaussian_blur default sigma: 0.3*((k-1)*0.5 - 1) + 0.8
     sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     x = np.arange(ksize) - ksize // 2
     g = np.exp(-(x**2) / (2 * sigma**2))
     g /= g.sum()
-    k2 = np.outer(g, g).astype(np.float32)
-    return k2
+    return tuple(float(v) for v in g)
 
 
 def gaussian_blur(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
-    """[B, C, H, W] depthwise gaussian blur, 'same' padding."""
-    C = img.shape[1]
-    k2 = _gauss_kernel2d(ksize)
-    w = jnp.asarray(np.tile(k2[None, None], (C, 1, 1, 1)))
-    pad = ksize // 2
-    return lax.conv_general_dilated(
-        img, w, (1, 1), [(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
-    )
+    """[B, C, H, W] gaussian blur, 'same' zero padding.
+
+    Separable shift-and-add: depthwise lax convs scalarize on TPU (no MXU
+    path for 1-input-channel groups); 2K static slices + FMAs fuse into one
+    elementwise pass (same rewrite as utils/ssim.py).
+    """
+    taps = _gauss_taps(ksize)
+    r = ksize // 2
+    H, W = img.shape[2], img.shape[3]
+    xp = jnp.pad(img, ((0, 0), (0, 0), (r, r), (0, 0)))
+    acc = None
+    for k in range(ksize):
+        term = taps[k] * lax.slice_in_dim(xp, k, k + H, axis=2)
+        acc = term if acc is None else acc + term
+    xp = jnp.pad(acc, ((0, 0), (0, 0), (0, 0), (r, r)))
+    acc = None
+    for k in range(ksize):
+        term = taps[k] * lax.slice_in_dim(xp, k, k + W, axis=3)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 class LearnableBlur(nn.Module):

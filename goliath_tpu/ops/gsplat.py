@@ -322,8 +322,13 @@ def reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets, prim_ends):
 
     The prefix sum runs as a single-pass Pallas kernel on TPU (XLA's cumsum
     at 4M x 16 costs ~250ms; the carry kernel is ~10x cheaper)."""
-    budget = sorted_g.shape[0]
     presort_g = sorted_g[inv_perm]                                  # [budget, F]
+    return reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
+
+
+def reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends):
+    """Per-prim sums from PRESORT-ordered pair grads (prims contiguous)."""
+    budget = presort_g.shape[0]
     if jax.default_backend() == "tpu":
         from goliath_tpu.ops.gsplat_pallas import cumsum_rows_pl
 

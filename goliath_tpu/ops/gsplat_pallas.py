@@ -549,24 +549,29 @@ def pair_grads_pallas(
         interpret=interpret,
     )(tile_start, tile_end, cnt, rows, g)
 
-    # gather private per-tile blocks back into sorted-pair order; the owning
-    # tile of each sorted pair comes straight from the binning (tile_of_pair
-    # is the sorted key array — re-deriving it here would cost another 4M
-    # merge sort)
+    # Map each sorted pair to its private-buffer row; the owning tile comes
+    # straight from the binning (tile_of_pair is the sorted key array —
+    # re-deriving it here would cost another 4M merge sort). Out-of-window
+    # pairs (never composited by the fwd) point at a zero sentinel row —
+    # without the window guard their index would spill into the NEXT tile's
+    # buffer and steal that tile's gradients.
     out_flat = out.reshape(T_tiles * nchunks * chunk, 16)
+    sentinel = T_tiles * nchunks * chunk
+    out_flat = jnp.concatenate(
+        [out_flat, jnp.zeros((1, 16), out_flat.dtype)], axis=0)
     s = jnp.arange(budget, dtype=jnp.int32)
     t_of = jnp.clip(tile_of_pair, 0, T_tiles - 1)
     ok = (tile_of_pair < T_tiles) & (s >= tile_start[t_of]) \
         & (s < tile_end[t_of])
     align = (tile_start[t_of] // chunk) * chunk
-    # pairs past the per-tile block budget were never composited by the fwd
-    # (and have no private-buffer slot): without this guard their idx spills
-    # into the NEXT tile's buffer and steals that tile's gradients
     ok &= (s - align) < nchunks * chunk
-    idx = t_of * (nchunks * chunk) + (s - align)
-    idx = jnp.where(ok, idx, 0)
-    sorted_g = jnp.where(ok[:, None], out_flat[idx][:, :6 + C], 0.0)
-    return sorted_g
+    idx = jnp.where(ok, t_of * (nchunks * chunk) + (s - align), sentinel)
+    return out_flat, idx
+
+
+def pair_grads_sorted(out_flat, idx, n_chan):
+    """[budget, 6+C] pair grads in sorted-pair order (one row gather)."""
+    return out_flat[idx][:, :6 + n_chan]
 
 
 # ---------------------------------------------------------------------------
@@ -619,7 +624,7 @@ def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
     dL_dout, dL_dT = grads
     (sorted_prim, tile_start, tile_end, valid,
      inv_perm, prim_offsets, prim_ends, tile_of_pair) = binning_arrays
-    sorted_g = pair_grads_pallas(
+    out_flat, idx = pair_grads_pallas(
         xys, conics, opacities, colors, valid.astype(xys.dtype),
         sorted_prim, tile_start, tile_end, tile_of_pair,
         dL_dout, dL_dT, T_final, cnt,
@@ -627,8 +632,14 @@ def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
         chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
         interpret=INTERPRET,
     )
-    acc = reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets,
-                                   prim_ends)
+    # compose the private-buffer index with the sort inversion so presort
+    # order comes from ONE [budget, F] row gather (row gathers at this
+    # scale are ~25ns/row on TPU; a second one is pure waste)
+    C = colors.shape[1]
+    presort_g = out_flat[idx[inv_perm]][:, :6 + C]
+    from goliath_tpu.ops.gsplat import reduce_presort_pair_grads
+
+    acc = reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
     dxys = acc[:, 0:2]
     dconics = acc[:, 2:5]
     dopacities = acc[:, 5:6].reshape(opacities.shape)

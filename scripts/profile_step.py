@@ -80,13 +80,14 @@ def main():
     from goliath_tpu.ops.binning import bin_to_tiles
 
     render_cfg = dict(
-        max_pairs_per_tile=int(os.environ.get("GOLIATH_BENCH_MPPT", 512)),
+        max_pairs_per_tile=int(os.environ.get("GOLIATH_BENCH_MPPT", 2048)),
         chunk=int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
-        pallas_inner=int(os.environ.get("GOLIATH_BENCH_INNER", 256)),
-        pair_budget_mult=int(os.environ.get("GOLIATH_BENCH_PBM", 4)),
+        pallas_inner=int(os.environ.get("GOLIATH_BENCH_INNER", 64)),
+        pair_budget_mult=int(os.environ.get("GOLIATH_BENCH_PBM", 2)),
         use_pallas=use_pallas,
+        tile_size=int(os.environ.get("GOLIATH_BENCH_TS", 32)),
     )
-    tile_size = 16
+    tile_size = render_cfg["tile_size"]
     ntx = -(-img_w // tile_size)
     nty = -(-img_h // tile_size)
 
@@ -244,14 +245,13 @@ def main():
                 b.sorted_prim, b.tile_start, b.tile_end,
                 img_h, img_w, tile_size, ntx, nty,
                 chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
-            C = chan.shape[-1]
-            sorted_g = pair_grads_pallas(
+            out_flat, idx = pair_grads_pallas(
                 xys, conics, op_s, chan, valid.astype(jnp.float32),
                 b.sorted_prim, b.tile_start, b.tile_end, b.tile_of_pair,
                 jnp.ones_like(out), jnp.ones_like(Tf), Tf, cnt,
                 img_h, img_w, tile_size, ntx, nty,
                 chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
-            return sorted_g.sum()
+            return out_flat.sum() + idx.sum()
 
         t = timeit(kernel_bwd, K, Rt, primpos, primqvec, primscale,
                    opacity, colors)
@@ -266,14 +266,17 @@ def main():
                 b.sorted_prim, b.tile_start, b.tile_end,
                 img_h, img_w, tile_size, ntx, nty,
                 chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
-            sorted_g = pair_grads_pallas(
+            out_flat, idx = pair_grads_pallas(
                 xys, conics, op_s, chan, valid.astype(jnp.float32),
                 b.sorted_prim, b.tile_start, b.tile_end, b.tile_of_pair,
                 jnp.ones_like(out), jnp.ones_like(Tf), Tf, cnt,
                 img_h, img_w, tile_size, ntx, nty,
                 chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
-            acc = reduce_sorted_pair_grads(
-                sorted_g, b.inv_perm, b.prim_offsets, b.prim_ends)
+            from goliath_tpu.ops.gsplat import reduce_presort_pair_grads
+            C = chan.shape[-1]
+            presort_g = out_flat[idx[b.inv_perm]][:, :6 + C]
+            acc = reduce_presort_pair_grads(
+                presort_g, b.prim_offsets, b.prim_ends)
             return acc.sum()
 
         t = timeit(kernel_bwd_reduce, K, Rt, primpos, primqvec, primscale,
