@@ -24,6 +24,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _cumsum1d(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive int cumsum; single-pass Pallas kernel on TPU (XLA's 1-D
+    integer cumsum costs ~130ms at 4M elements), jnp elsewhere. Exact while
+    the running total stays under 2^24 (f32 carry)."""
+    if jax.default_backend() == "tpu":
+        from goliath_tpu.ops.gsplat_pallas import cumsum1d_pl
+
+        return cumsum1d_pl(x).astype(jnp.int32)
+    return jnp.cumsum(x)
+
+
 class TileBinning(NamedTuple):
     sorted_prim: jnp.ndarray   # [budget] prim index per pair (depth order/tile)
     tile_start: jnp.ndarray    # [num_tiles]
@@ -74,7 +85,7 @@ def bin_to_tiles(
     h = jnp.minimum(h, kspan)
 
     counts = jnp.where(valid, w * h, 0)  # [N]
-    ends = jnp.cumsum(counts)            # inclusive
+    ends = _cumsum1d(counts)             # inclusive
     offsets = ends - counts              # exclusive
 
     # Scatter-free pair expansion: TPU scatters serialize, so instead of
@@ -90,7 +101,7 @@ def bin_to_tiles(
         jnp.clip(ends, 0, pair_budget - 1).astype(jnp.int32)
     ].add(jnp.where(ends < pair_budget, 1, 0).astype(jnp.int32),
           mode="drop")
-    prim_of_slot = jnp.cumsum(marks)  # [budget]; == N for slots past the end
+    prim_of_slot = _cumsum1d(marks)  # [budget]; == N for slots past the end
     in_range = prim_of_slot < N
     p = jnp.clip(prim_of_slot, 0, N - 1)
     # one row-gather instead of four random gathers (gathers on TPU are
@@ -123,9 +134,12 @@ def bin_to_tiles(
     # both segment bounds from ONE searchsorted: tile_end[t] ==
     # tile_start[t+1] for integer keys (unused slots carry the sentinel
     # key == num_tiles, which lands past every real tile)
+    # few queries against many sorted keys: vectorized binary search
+    # ('scan_unrolled') is ~6x cheaper than the merge-sort method here
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(
-        keys_sorted, tile_ids, side="left", method="sort").astype(jnp.int32)
+        keys_sorted, tile_ids, side="left",
+        method="scan_unrolled").astype(jnp.int32)
     tile_start = bounds[:-1]
     tile_end = bounds[1:]
     return TileBinning(vals_sorted, tile_start, tile_end, inv_perm,

@@ -481,6 +481,7 @@ def render(
     pair_budget_mult: int = 4,
     use_pallas: bool = False,
     pallas_inner: int = 256,
+    return_radii: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched gaussian-splat render (reference render_gsplat.py:13-108).
 
@@ -498,14 +499,24 @@ def render(
             cam_img_h, cam_img_w, z_near, global_scale,
         )
         order = jnp.argsort(proj["depths"])
-        xys = proj["xys"][order]
-        conics = proj["conics"][order]
-        radii = proj["radii"][order]
-        valid = proj["valid"][order]
-        comp = proj["compensation"][order]
-        op_s = (op.reshape(-1) * comp)[order][:, None]
-        depth_s = proj["depths"][order]
-        chan = col[order]
+        # ONE row gather for the depth reorder: row gathers cost ~25ns/row
+        # on TPU regardless of width, so 8 narrow gathers would cost 8x
+        C_in = col.shape[-1]
+        mat = jnp.concatenate(
+            [proj["xys"], proj["conics"],
+             jnp.stack([proj["radii"],
+                        op.reshape(-1) * proj["compensation"],
+                        proj["depths"],
+                        proj["valid"].astype(pos.dtype)], axis=1),
+             col], axis=1)
+        mat = mat[order]
+        xys = mat[:, 0:2]
+        conics = mat[:, 2:5]
+        radii = mat[:, 5]
+        op_s = mat[:, 6:7]
+        depth_s = mat[:, 7]
+        valid = mat[:, 8] > 0.5
+        chan = mat[:, 9:9 + C_in]
         if return_depth:
             chan = jnp.concatenate([chan, depth_s[:, None]], axis=-1)
 
@@ -539,8 +550,12 @@ def render(
                 cam_img_h, cam_img_w, tile_size, max_pairs_per_tile, chunk,
                 ntx, nty,
             )
-        # un-sort radii for the caller
-        radii_orig = jnp.zeros_like(radii).at[order].set(radii)
+        if return_radii:
+            # un-sort radii for the caller (scatter; skipped by default —
+            # no model consumes radii in the train path)
+            radii_orig = jnp.zeros_like(radii).at[order].set(radii)
+        else:
+            radii_orig = jnp.zeros((1,), radii.dtype)
         return out, T_final, radii_orig
 
     if use_pallas:

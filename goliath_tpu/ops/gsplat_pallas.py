@@ -253,6 +253,29 @@ def _compositor_kernel(
             (1, P), cnt_scr[0], jnp.float32)
 
 
+def pack_pair_rows(xys, conics, opacities, colors, valid, sorted_prim,
+                   pad_rows: int) -> jnp.ndarray:
+    """Gather pair rows [budget + pad_rows, 8 + C] in sorted-pair order.
+
+    One row gather shared by the fwd and bwd kernels (saved in the vjp
+    residuals — row gathers at this scale cost ~25ns/row on TPU, so
+    regathering in the bwd would double a major cost). The pad must cover
+    the deepest block the BlockSpec index_map can request: block
+    start[t]//chunk + nchunks - 1 extends up to nchunks*chunk rows past the
+    aligned start, and start can reach `budget` — shorter padding is an
+    out-of-bounds block DMA on hardware (interpret mode silently clamps,
+    masking the bug in CPU tests).
+    """
+    N = xys.shape[0]
+    gi = jnp.clip(sorted_prim, 0, N - 1)
+    src = jnp.concatenate(
+        [xys, conics, (opacities.reshape(-1) * valid)[:, None],
+         jnp.zeros((N, 2), xys.dtype), colors], axis=1,
+    )
+    rows = src[gi]  # ONE row gather instead of four
+    return jnp.pad(rows, ((0, pad_rows), (0, 0)))
+
+
 def rasterize_tiled_pallas_fwd(
     xys: jnp.ndarray,        # [N, 2] depth-sorted
     conics: jnp.ndarray,     # [N, 3]
@@ -267,6 +290,7 @@ def rasterize_tiled_pallas_fwd(
     inner: int = 64,
     max_pairs_per_tile: int = 512,
     interpret: bool = False,
+    rows_packed: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-only Pallas compositor. Returns ([C, H, W], T [H, W])."""
     inner = min(inner, chunk)
@@ -277,18 +301,11 @@ def rasterize_tiled_pallas_fwd(
 
     nchunks = max_pairs_per_tile // chunk + 1  # +1 for the alignment shift
 
-    gi = jnp.clip(sorted_prim, 0, N - 1)
-    op = (opacities.reshape(-1) * valid)[gi][:, None]
-    rows = jnp.concatenate(
-        [xys[gi], conics[gi], op,
-         jnp.zeros((budget, 2), xys.dtype), colors[gi]], axis=1,
-    )
-    # The BlockSpec index_map reaches block start[t]//chunk + nchunks - 1,
-    # whose row range extends up to nchunks*chunk past (start//chunk)*chunk;
-    # with start up to `budget` the pad must cover nchunks*chunk extra rows
-    # or the block DMA reads out of bounds on hardware (interpret mode
-    # silently clamps, masking the bug in CPU tests).
-    rows = jnp.pad(rows, ((0, nchunks * chunk), (0, 0)))
+    if rows_packed is not None:
+        rows = rows_packed
+    else:
+        rows = pack_pair_rows(xys, conics, opacities, colors, valid,
+                              sorted_prim, nchunks * chunk)
 
     T_tiles = ntx * nty
     out_feat = C + 2  # color rows, final T, processed-block cutoff
@@ -483,9 +500,13 @@ def pair_grads_pallas(
     inner: int = 64,
     max_pairs_per_tile: int = 512,
     interpret: bool = False,
+    rows_packed: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Per-pair gradient rows in sorted-pair order [budget, 6+C]:
-    (dx, dy, d_conic(3), d_opacity, d_color(C))."""
+    """Private-buffer pair grads + index mapping sorted pair -> buffer row.
+
+    Returns (out_flat [T*nchunks*chunk + 1, 16] with a zero sentinel row,
+    idx [budget] int32). Gather out_flat[idx][:, :6+C] for sorted-pair-order
+    grads (dx, dy, d_conic(3), d_opacity, d_color(C))."""
     inner = min(inner, chunk)
     N, C = colors.shape
     budget = sorted_prim.shape[0]
@@ -494,15 +515,11 @@ def pair_grads_pallas(
 
     nchunks = max_pairs_per_tile // chunk + 1
 
-    gi = jnp.clip(sorted_prim, 0, N - 1)
-    op = (opacities.reshape(-1) * valid)[gi][:, None]
-    rows = jnp.concatenate(
-        [xys[gi], conics[gi], op,
-         jnp.zeros((budget, 2), xys.dtype), colors[gi]], axis=1,
-    )
-    # pad by nchunks*chunk, matching the deepest block the index_map can
-    # request (see rasterize_tiled_pallas_fwd)
-    rows = jnp.pad(rows, ((0, nchunks * chunk), (0, 0)))
+    if rows_packed is not None:
+        rows = rows_packed  # reuse the fwd's gather (saved in vjp residuals)
+    else:
+        rows = pack_pair_rows(xys, conics, opacities, colors, valid,
+                              sorted_prim, nchunks * chunk)
 
     # per-tile gradient/state planes packed as one [T, C+2, P] operand
     pad_h = nty * tile_size - img_h
@@ -605,44 +622,47 @@ def _pl_fwd(xys, conics, opacities, colors, binning_arrays,
             img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
             ntx, nty):
     sorted_prim, tile_start, tile_end, valid = binning_arrays[:4]
+    nchunks = max_pairs_per_tile // chunk + 1
+    rows = pack_pair_rows(
+        xys, conics, opacities, colors, valid.astype(xys.dtype),
+        sorted_prim, nchunks * chunk)
     out, T_final, cnt = rasterize_tiled_pallas_fwd(
         xys, conics, opacities, colors, valid.astype(xys.dtype),
         sorted_prim, tile_start, tile_end,
         img_h, img_w, tile_size, ntx, nty,
         chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
-        interpret=INTERPRET,
+        interpret=INTERPRET, rows_packed=rows,
     )
-    return (out, T_final), (xys, conics, opacities, colors, binning_arrays,
+    return (out, T_final), (rows, opacities, colors, binning_arrays,
                             T_final, cnt)
 
 
 def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
             ntx, nty, res, grads):
-    from goliath_tpu.ops.gsplat import reduce_sorted_pair_grads
-
-    xys, conics, opacities, colors, binning_arrays, T_final, cnt = res
+    rows, opacities, colors, binning_arrays, T_final, cnt = res
+    C = colors.shape[1]
+    op_shape = opacities.shape
     dL_dout, dL_dT = grads
     (sorted_prim, tile_start, tile_end, valid,
      inv_perm, prim_offsets, prim_ends, tile_of_pair) = binning_arrays
     out_flat, idx = pair_grads_pallas(
-        xys, conics, opacities, colors, valid.astype(xys.dtype),
+        None, None, opacities, colors, None,
         sorted_prim, tile_start, tile_end, tile_of_pair,
         dL_dout, dL_dT, T_final, cnt,
         img_h, img_w, tile_size, ntx, nty,
         chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
-        interpret=INTERPRET,
+        interpret=INTERPRET, rows_packed=rows,
     )
     # compose the private-buffer index with the sort inversion so presort
     # order comes from ONE [budget, F] row gather (row gathers at this
     # scale are ~25ns/row on TPU; a second one is pure waste)
-    C = colors.shape[1]
     presort_g = out_flat[idx[inv_perm]][:, :6 + C]
     from goliath_tpu.ops.gsplat import reduce_presort_pair_grads
 
     acc = reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
     dxys = acc[:, 0:2]
     dconics = acc[:, 2:5]
-    dopacities = acc[:, 5:6].reshape(opacities.shape)
+    dopacities = acc[:, 5:6].reshape(op_shape)
     dcolors = acc[:, 6:]
     return (dxys, dconics, dopacities, dcolors, None)
 
