@@ -85,16 +85,74 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
     return model, loss_fn, optimizer, params, opt_state, jb
 
 
+def build_urhand(img_h: int, img_w: int, uv: int, batch: int):
+    """URHand at reference scale (config/urhand_mesh_example.yml: uv 1024,
+    2048x1334, batch 1, 400k iters / 7 days => 0.661 steps/s baseline)."""
+    import jax
+    import jax.numpy as jnp
+
+    import goliath_tpu
+
+    goliath_tpu.enable_compilation_cache()
+
+    from goliath_tpu.data.synthetic import SyntheticDataset
+    from goliath_tpu.losses import ModularLoss
+    from goliath_tpu.models.urhand import AutoEncoder
+    from goliath_tpu.optim import build_optimizer
+
+    ds = SyntheticDataset(
+        n_cams=2, n_frames=max(batch, 2), img_h=img_h, img_w=img_w,
+        uv_size=uv, n_lights=5, seed=0,
+    )
+    model = AutoEncoder(
+        assets=ds.static_assets,
+        cal={"identity_camera": ds.static_assets.camera_ids[0]},
+        renderer={"image_height": img_h, "image_width": img_w},
+        relight={
+            "uv_size": uv,
+            "init_uv_size": 32,
+            "pose_enc_dims": 12,
+            "disp_enc_dims": (64,) * 6,
+            "disp_scale": 3.0,
+            "init_channels": 128,
+        },
+        global_scaling=1.0,
+        shadow_size=min(uv, 512),
+    )
+    loss_fn = ModularLoss(
+        {
+            "rgb_l1": {"src_key": "rgb", "tgt_key": "image",
+                       "mask_key": "image_weight", "weight": 1.0},
+            "rgb_ssim": {"src_key": "rgb", "tgt_key": "image",
+                         "mask_key": "image_weight", "weight": 0.2},
+        },
+        assets=ds.static_assets,
+    )
+    batch_np = next(ds.batches(batch, 1))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()
+          if not isinstance(v, (list, str))}
+    params = model.init(jax.random.PRNGKey(0), jb)
+    optimizer = build_optimizer(
+        {"class_name": "torch.optim.Adam", "lr": 1e-4}, params
+    )
+    opt_state = optimizer.init(params)
+    return model, loss_fn, optimizer, params, opt_state, jb
+
+
 def run(img_h, img_w, uv, batch, n_steps):
     import jax
     import jax.numpy as jnp
     import optax
 
-    model, loss_fn, optimizer, params, opt_state, jb = build(
+    builder = build_urhand \
+        if os.environ.get("GOLIATH_BENCH_MODEL") == "urhand" else build
+    model, loss_fn, optimizer, params, opt_state, jb = builder(
         img_h, img_w, uv, batch
     )
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng, it):
         def loss(p):
             preds = model.apply(p, batch, train=True, rngs={"noise": rng})
@@ -123,6 +181,20 @@ def run(img_h, img_w, uv, batch, n_steps):
 
 def run_single(h, w, u, b, n_steps):
     step_s, compile_s, loss = run(h, w, u, b, n_steps)
+    if os.environ.get("GOLIATH_BENCH_MODEL") == "urhand":
+        # urhand reference: batch 1, 400k iters / 7 days = 0.661 steps/s
+        work_ratio = (b / 1.0) * ((h * w) / (2048 * 1334)) \
+            * ((u * u) / (1024 * 1024))
+        eff = (1.0 / step_s) * work_ratio
+        print(json.dumps({
+            "metric": "urhand_train_step_time",
+            "value": round(step_s, 4),
+            "unit": f"s/step (batch={b}, {h}x{w}, uv={u}; "
+                    f"compile={compile_s:.1f}s, "
+                    f"workload-normalized {eff:.3f} ref-steps/s)",
+            "vs_baseline": round(eff / (400_000 / (7 * 24 * 3600)), 3),
+        }))
+        return
     # normalize to the reference workload (batch 4, 2048x1334, 1M
     # gaussians): scale step time by the workload ratio
     work_ratio = (b / 4.0) * ((h * w) / (2048 * 1334)) \
