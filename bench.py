@@ -51,6 +51,7 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
         image_height=img_h, image_width=img_w,
         cal={"identity_camera": ds.static_assets.camera_ids[0]},
         n_embs=256, n_diff_sh=8, learn_blur=True, uv_size=uv,
+        remat_decoder=os.environ.get("GOLIATH_RGCA_REMAT", "1") == "1",
         render={
             "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 2048)),
             "chunk": int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
@@ -234,6 +235,9 @@ def main():
         (img_h, img_w, uv, 1, pal, 1500),        # flagship full-res pallas
         (img_h, img_w, uv, max(batch // 2, 1), pal, 1500),
         (img_h, img_w, uv, batch, pal, 1500),    # reference workload
+        # no-remat upgrade: decoder runs once (~50ms/sample less) if the
+        # activations fit; a failed rung is harmless (fresh subprocess)
+        (img_h, img_w, uv, batch, pal + "noremat", 1500),
     ]
     if pal == "1":
         # XLA fallback rung in case full-res pallas regresses on hardware
@@ -254,6 +258,8 @@ def main():
             print(f"# bench deadline reached, skipping remaining rungs",
                   file=sys.stderr)
             break
+        noremat = pl.endswith("noremat")
+        pl = pl.replace("noremat", "")
         env = dict(os.environ)
         env.update({
             "GOLIATH_BENCH_SINGLE": "1",
@@ -261,7 +267,15 @@ def main():
             "GOLIATH_BENCH_UV": str(u), "GOLIATH_BENCH_BATCH": str(b),
             "GOLIATH_BENCH_STEPS": str(n_steps),
             "GOLIATH_BENCH_PALLAS": pl,
+            "GOLIATH_RGCA_REMAT": "0" if noremat else "1",
         })
+        if pl == "0":
+            # the XLA-scan compositor materializes [tiles, chunk, C, P]
+            # per scan step; at the pallas-tuned ts32/chunk256 that is
+            # ~11GB — pin the fallback rung to its own feasible config
+            env.update({"GOLIATH_BENCH_TS": "16", "GOLIATH_BENCH_CHUNK": "64",
+                        "GOLIATH_BENCH_MPPT": "512",
+                        "GOLIATH_BENCH_PBM": "4"})
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,

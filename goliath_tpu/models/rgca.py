@@ -340,6 +340,7 @@ class _RGCANet(nn.Module):
     tex_size: int
     slabsize: int
     render_cfg: Any
+    remat_decoder: bool = True
 
     @nn.compact
     def __call__(
@@ -417,7 +418,12 @@ class _RGCANet(nn.Module):
             name="decoder",
             **dict(self.decoder_cfg),
         )
-        dec_preds = nn.remat(_call_prim_decoder, static_argnums=(10,))(
+        # whole-decoder remat trades a second decode (~54ms at uv 1024) for
+        # not keeping multi-GB UV-slab activations across the splat render;
+        # required at batch 4 full-res, pure overhead at batch 1-2
+        call = (nn.remat(_call_prim_decoder, static_argnums=(10,))
+                if self.remat_decoder else _call_prim_decoder)
+        dec_preds = call(
             dec, embs, geom, headrel_campos, light_intensity,
             headrel_light_pos, headrel_light_sh, n_lights, preconv_envmap,
             lightrot, train,
@@ -492,6 +498,7 @@ class AutoEncoder(ModelFacade):
         bg_weight: float = 1.0,
         uv_size: int = 1024,
         render: Optional[Dict[str, Any]] = None,
+        remat_decoder: bool = True,
     ):
         self.assets = assets
         self.image_height = image_height
@@ -535,6 +542,7 @@ class AutoEncoder(ModelFacade):
             tex_size=tex_size,
             slabsize=uv_size,
             render_cfg=tuple(sorted((render or {}).items())),
+            remat_decoder=bool(remat_decoder),
         )
 
     def name_to_idx(self, camera_ids) -> jnp.ndarray:

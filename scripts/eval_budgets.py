@@ -59,7 +59,42 @@ def main():
 
     import numpy as np
 
+    # pair demand per tile size (before budget truncation)
+    from goliath_tpu.ops.gsplat import project_gaussians
+
+    @jax.jit
+    def demand(K, Rt, g):
+        proj = project_gaussians(
+            g["primpos"][0], g["primscale"][0], g["primqvec"][0], Rt[0],
+            K[0, 0, 0], K[0, 1, 1], K[0, 0, 2], K[0, 1, 2], img_h, img_w)
+        out = {}
+        for ts in (16, 32):
+            ntx, nty = -(-img_w // ts), -(-img_h // ts)
+            x0 = jnp.clip(jnp.floor((proj["xys"][:, 0] - proj["radii"]) / ts),
+                          0, ntx)
+            x1 = jnp.clip(jnp.floor((proj["xys"][:, 0] + proj["radii"]) / ts)
+                          + 1, 0, ntx)
+            y0 = jnp.clip(jnp.floor((proj["xys"][:, 1] - proj["radii"]) / ts),
+                          0, nty)
+            y1 = jnp.clip(jnp.floor((proj["xys"][:, 1] + proj["radii"]) / ts)
+                          + 1, 0, nty)
+            n = jnp.where(proj["valid"] & (proj["radii"] > 0),
+                          jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0),
+                          0)
+            out[ts] = jnp.sum(jnp.minimum(n, 64))
+        return out
+
+    dem = jax.device_get(demand(
+        jb["K"], jb["Rt"],
+        {k: jnp.asarray(v) for k, v in gaussians.items()}))
+    for ts, n in dem.items():
+        print(f"pair demand at ts={ts}: {int(n)} "
+              f"({int(n) / (uv * uv):.2f} per gaussian)")
+
     variants = [
+        ("ts32/pbm3/mppt2048",
+         dict(tile_size=32, pair_budget_mult=3, max_pairs_per_tile=2048,
+              chunk=256, pallas_inner=64)),
         ("r1 default ts16/pbm4/mppt512",
          dict(tile_size=16, pair_budget_mult=4, max_pairs_per_tile=512,
               chunk=64, pallas_inner=64)),
