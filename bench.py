@@ -53,7 +53,7 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
         n_embs=256, n_diff_sh=8, learn_blur=True, uv_size=uv,
         remat_decoder=os.environ.get("GOLIATH_RGCA_REMAT", "1") == "1",
         render={
-            "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 2048)),
+            "max_pairs_per_tile": int(os.environ.get("GOLIATH_BENCH_MPPT", 1024)),
             "chunk": int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
             "pallas_inner": int(os.environ.get("GOLIATH_BENCH_INNER", 64)),
             "tile_size": int(os.environ.get("GOLIATH_BENCH_TS", 32)),

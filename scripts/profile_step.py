@@ -80,7 +80,7 @@ def main():
     from goliath_tpu.ops.binning import bin_to_tiles
 
     render_cfg = dict(
-        max_pairs_per_tile=int(os.environ.get("GOLIATH_BENCH_MPPT", 2048)),
+        max_pairs_per_tile=int(os.environ.get("GOLIATH_BENCH_MPPT", 1024)),
         chunk=int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
         pallas_inner=int(os.environ.get("GOLIATH_BENCH_INNER", 64)),
         pair_budget_mult=int(os.environ.get("GOLIATH_BENCH_PBM", 2)),
