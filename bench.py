@@ -57,7 +57,7 @@ def build(img_h: int, img_w: int, uv: int, batch: int):
             "chunk": int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
             "pallas_inner": int(os.environ.get("GOLIATH_BENCH_INNER", 64)),
             "tile_size": int(os.environ.get("GOLIATH_BENCH_TS", 32)),
-            "pair_budget_mult": int(os.environ.get("GOLIATH_BENCH_PBM", 2)),
+            "pair_budget_mult": float(os.environ.get("GOLIATH_BENCH_PBM", 2)),
             "use_pallas": os.environ.get("GOLIATH_BENCH_PALLAS", "1") == "1",
         },
     )

@@ -56,18 +56,27 @@ def bin_to_tiles(
     num_tiles_y: int,
     max_tiles_per_prim: int = 64,
     pair_budget: int | None = None,
+    depth_keys: jnp.ndarray | None = None,   # [N] int32 quantized depth
 ) -> TileBinning:
-    """Primitives must already be sorted by depth (ascending).
+    """Bin primitive AABBs into per-tile depth-ordered pair lists.
+
+    Depth ordering within a tile comes from ONE of two modes:
+      * depth_keys=None — primitives must already be sorted by depth
+        (ascending); the stable tile sort preserves that order per tile.
+      * depth_keys given — primitives may be in ANY order; the sort key is
+        (tile_id << depth_bits) | depth_key (the CUDA gsplat composite-key
+        design). This removes the global depth argsort AND the [N]-row
+        reorder gather from the caller's critical path; ties in the
+        quantized depth break by primitive index.
 
     If a primitive spans more than max_tiles_per_prim tiles, its span is
-    center-cropped to fit (a documented approximation for huge primitives).
+    center-cropped (area-proportionally) to fit.
     """
     N = tile_min.shape[0]
     if pair_budget is None:
         pair_budget = 4 * N
     num_tiles = num_tiles_x * num_tiles_y
     K = max_tiles_per_prim
-    kspan = max(int(K**0.5), 1)
 
     x0 = jnp.clip(tile_min[:, 0], 0, num_tiles_x)
     y0 = jnp.clip(tile_min[:, 1], 0, num_tiles_y)
@@ -76,13 +85,23 @@ def bin_to_tiles(
 
     w = jnp.maximum(x1 - x0, 0)
     h = jnp.maximum(y1 - y0, 0)
-    # center-crop spans that exceed the per-prim budget
+    # center-crop spans whose AREA exceeds the per-prim budget, preserving
+    # aspect (footprints may be strongly rectangular with per-axis radii):
+    # w' = w*sqrt(K/area) rounded down, h' = min(h, K // w') => w'*h' <= K
+    area = w * h
+    over = area > K
+    ratio = jnp.sqrt(K / jnp.clip(area.astype(jnp.float32), min=1.0))
+    w_c = jnp.clip((w.astype(jnp.float32) * ratio).astype(jnp.int32), 1, K)
+    w_new = jnp.where(over, jnp.minimum(w_c, w), w)
+    h_new = jnp.minimum(h, K // jnp.maximum(w_new, 1))
     cx = (x0 + x1) // 2
     cy = (y0 + y1) // 2
-    x0 = jnp.where(w > kspan, jnp.clip(cx - kspan // 2, 0, num_tiles_x), x0)
-    y0 = jnp.where(h > kspan, jnp.clip(cy - kspan // 2, 0, num_tiles_y), y0)
-    w = jnp.minimum(w, kspan)
-    h = jnp.minimum(h, kspan)
+    x0 = jnp.where(w_new < w,
+                   jnp.clip(cx - w_new // 2, 0, num_tiles_x), x0)
+    y0 = jnp.where(h_new < h,
+                   jnp.clip(cy - h_new // 2, 0, num_tiles_y), y0)
+    w = w_new
+    h = h_new
 
     counts = jnp.where(valid, w * h, 0)  # [N]
     ends = _cumsum1d(counts)             # inclusive
@@ -115,14 +134,26 @@ def bin_to_tiles(
     wk = rows[:, 1]
     tx = rows[:, 2] + k % wk
     ty = rows[:, 3] + k // wk
-    keys = jnp.where(
-        in_range, (ty * num_tiles_x + tx).astype(jnp.int32), num_tiles
-    )
+    tile_of_slot = (ty * num_tiles_x + tx).astype(jnp.int32)
+    if depth_keys is None:
+        shift = 0
+        keys = jnp.where(in_range, tile_of_slot, num_tiles)
+    else:
+        # composite (tile, depth) key in one int32
+        shift = 31 - int(num_tiles + 1).bit_length()
+        assert shift >= 12, (
+            f"too many tiles ({num_tiles}) for a composite int32 sort key "
+            "with a useful depth resolution")
+        qd = jnp.clip(depth_keys, 0, (1 << shift) - 1).astype(jnp.int32)
+        keys = jnp.where(
+            in_range, (tile_of_slot << shift) | qd[p], num_tiles << shift
+        )
     vals = jnp.where(in_range, p, 0).astype(jnp.int32)
 
-    # stable sort by tile id keeps depth order within a tile; carry the
-    # originating slot so the permutation can be inverted
-    # (backward reductions walk pairs in pre-sort, prim-contiguous order)
+    # stable sort groups pairs per tile in depth order (carried in the key,
+    # or inherited from pre-sorted prims); carry the originating slot so
+    # the permutation can be inverted (backward reductions walk pairs in
+    # pre-sort, prim-contiguous order)
     keys_sorted, perm = jax.lax.sort((keys, slots), num_keys=1,
                                      is_stable=True)
     vals_sorted = vals[perm]
@@ -136,15 +167,16 @@ def bin_to_tiles(
     # key == num_tiles, which lands past every real tile)
     # few queries against many sorted keys: vectorized binary search
     # ('scan_unrolled') is ~6x cheaper than the merge-sort method here
-    tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32) << shift
     bounds = jnp.searchsorted(
         keys_sorted, tile_ids, side="left",
         method="scan_unrolled").astype(jnp.int32)
     tile_start = bounds[:-1]
     tile_end = bounds[1:]
+    tile_of_pair = (keys_sorted >> shift) if shift else keys_sorted
     return TileBinning(vals_sorted, tile_start, tile_end, inv_perm,
                        offsets.astype(jnp.int32), ends.astype(jnp.int32),
-                       keys_sorted, num_tiles_x, num_tiles_y)
+                       tile_of_pair, num_tiles_x, num_tiles_y)
 
 
 class CellBinning(NamedTuple):

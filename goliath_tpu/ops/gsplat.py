@@ -124,19 +124,29 @@ def project_gaussians(
     inv_det = 1.0 / jnp.clip(det, min=1e-12)
     conics = jnp.stack([v11 * inv_det, -v01 * inv_det, v00 * inv_det], -1)
 
-    # 3-sigma radius from the larger eigenvalue
+    # 3-sigma radius from the larger eigenvalue (kept for callers that want
+    # a scalar footprint, e.g. visualization)
     b_ = 0.5 * (v00 + v11)
     v1 = b_ + jnp.sqrt(jnp.clip(b_**2 - det, min=0.1))
     radii = jnp.ceil(3.0 * jnp.sqrt(jnp.clip(v1, min=0.0)))
+    # Per-axis extents of the 3-sigma ellipse: the tight bounding box of
+    # {d : d^T cov2d^-1 d = 9} is +-3*sqrt(cov2d_ii). Strictly tighter than
+    # the circle of radius 3*sqrt(lambda_max) with the SAME sigma<=4.5 cut
+    # criterion — anisotropic gaussians bin to far fewer tiles, and every
+    # downstream cost (pair sort, kernels, grad reduce) scales with pairs.
+    radii_x = jnp.ceil(3.0 * jnp.sqrt(jnp.clip(v00, min=0.0)))
+    radii_y = jnp.ceil(3.0 * jnp.sqrt(jnp.clip(v11, min=0.0)))
 
     xys = jnp.stack([fx * px / zc + cx, fy * py / zc + cy], axis=-1)
 
     valid = (z > z_near) & (det > 0)
     radii = jnp.where(valid, radii, 0.0)
+    radii_xy = jnp.stack([jnp.where(valid, radii_x, 0.0),
+                          jnp.where(valid, radii_y, 0.0)], axis=-1)
     cov3d = jnp.stack([c00, c01, c02, c11, c12, c22], -1)
     return dict(
-        xys=xys, depths=depths, radii=radii, conics=conics,
-        compensation=compensation, valid=valid, cov3d=cov3d,
+        xys=xys, depths=depths, radii=radii, radii_xy=radii_xy,
+        conics=conics, compensation=compensation, valid=valid, cov3d=cov3d,
     )
 
 
@@ -327,7 +337,12 @@ def reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets, prim_ends):
 
 
 def reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends):
-    """Per-prim sums from PRESORT-ordered pair grads (prims contiguous)."""
+    """Per-prim sums from PRESORT-ordered pair grads (prims contiguous).
+
+    prim_ends[i] == prim_offsets[i+1] (both come from one cumsum of counts),
+    so the two per-prim boundary lookups collapse into ONE gather of N+1
+    rows at concat(offsets, total)-1 — row gathers are latency-bound
+    (~25ns/row) on TPU, so halving the row count halves this stage."""
     budget = presort_g.shape[0]
     if jax.default_backend() == "tpu":
         from goliath_tpu.ops.gsplat_pallas import cumsum_rows_pl
@@ -335,11 +350,11 @@ def reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends):
         csum = cumsum_rows_pl(presort_g.astype(jnp.float32))
     else:
         csum = jnp.cumsum(presort_g.astype(jnp.float32), axis=0)
-    lo = jnp.where(prim_offsets > 0, prim_offsets - 1, 0)
-    start_vals = jnp.where((prim_offsets > 0)[:, None], csum[lo], 0.0)
-    end_idx = jnp.clip(prim_ends - 1, 0, budget - 1)
-    end_vals = jnp.where((prim_ends > 0)[:, None], csum[end_idx], 0.0)
-    return end_vals - start_vals                                    # [N, F]
+    bounds = jnp.concatenate([prim_offsets, prim_ends[-1:]])        # [N+1]
+    bvals = jnp.where(
+        (bounds > 0)[:, None],
+        csum[jnp.clip(bounds - 1, 0, budget - 1)], 0.0)             # [N+1, F]
+    return bvals[1:] - bvals[:-1]                                   # [N, F]
 
 
 def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
@@ -478,7 +493,7 @@ def render(
     max_tiles_per_prim: int = 64,
     max_pairs_per_tile: int = 512,
     chunk: int = 64,
-    pair_budget_mult: int = 4,
+    pair_budget_mult: float = 4,
     use_pallas: bool = False,
     pallas_inner: int = 256,
     return_radii: bool = False,
@@ -498,39 +513,45 @@ def render(
             K_b[0, 0], K_b[1, 1], K_b[0, 2], K_b[1, 2],
             cam_img_h, cam_img_w, z_near, global_scale,
         )
-        order = jnp.argsort(proj["depths"])
-        # ONE row gather for the depth reorder: row gathers cost ~25ns/row
-        # on TPU regardless of width, so 8 narrow gathers would cost 8x
-        C_in = col.shape[-1]
-        mat = jnp.concatenate(
-            [proj["xys"], proj["conics"],
-             jnp.stack([proj["radii"],
-                        op.reshape(-1) * proj["compensation"],
-                        proj["depths"],
-                        proj["valid"].astype(pos.dtype)], axis=1),
-             col], axis=1)
-        mat = mat[order]
-        xys = mat[:, 0:2]
-        conics = mat[:, 2:5]
-        radii = mat[:, 5]
-        op_s = mat[:, 6:7]
-        depth_s = mat[:, 7]
-        valid = mat[:, 8] > 0.5
-        chan = mat[:, 9:9 + C_in]
+        # No global depth sort: per-tile depth order comes from a composite
+        # (tile << bits | quantized-depth) sort key inside the binning (the
+        # CUDA gsplat key design). This removes a 1M-element argsort AND the
+        # [N]-row reorder gather from every render.
+        xys = proj["xys"]
+        conics = proj["conics"]
+        rx = proj["radii_xy"][:, 0]
+        ry = proj["radii_xy"][:, 1]
+        radii = proj["radii"]
+        op_s = (op.reshape(-1) * proj["compensation"])[:, None]
+        depth_s = proj["depths"]
+        valid = proj["valid"]
+        chan = col
         if return_depth:
             chan = jnp.concatenate([chan, depth_s[:, None]], axis=-1)
 
+        num_tiles = ntx * nty
+        dbits = 31 - int(num_tiles + 1).bit_length()
+        dmask = jnp.where(valid, depth_s, jnp.inf)
+        dmin = jnp.min(dmask)
+        dmax = jnp.max(jnp.where(valid, depth_s, -jnp.inf))
+        dspan = jnp.maximum(dmax - dmin, 1e-9)
+        qd = jnp.clip(
+            ((depth_s - dmin) / dspan * ((1 << dbits) - 1)),
+            0, (1 << dbits) - 1,
+        ).astype(jnp.int32)
+
         t_min = jnp.stack(
-            [jnp.floor((xys[:, 0] - radii) / tile_size),
-             jnp.floor((xys[:, 1] - radii) / tile_size)], -1
+            [jnp.floor((xys[:, 0] - rx) / tile_size),
+             jnp.floor((xys[:, 1] - ry) / tile_size)], -1
         ).astype(jnp.int32)
         t_max = jnp.stack(
-            [jnp.floor((xys[:, 0] + radii) / tile_size) + 1,
-             jnp.floor((xys[:, 1] + radii) / tile_size) + 1], -1
+            [jnp.floor((xys[:, 0] + rx) / tile_size) + 1,
+             jnp.floor((xys[:, 1] + ry) / tile_size) + 1], -1
         ).astype(jnp.int32)
         binning = bin_to_tiles(
             t_min, t_max, valid & (radii > 0), ntx, nty,
-            max_tiles_per_prim, pair_budget_mult * N,
+            max_tiles_per_prim, int(round(pair_budget_mult * N)),
+            depth_keys=qd,
         )
         barrays = (
             binning.sorted_prim, binning.tile_start, binning.tile_end, valid,
@@ -551,9 +572,7 @@ def render(
                 ntx, nty,
             )
         if return_radii:
-            # un-sort radii for the caller (scatter; skipped by default —
-            # no model consumes radii in the train path)
-            radii_orig = jnp.zeros_like(radii).at[order].set(radii)
+            radii_orig = radii  # already in caller order (no depth pre-sort)
         else:
             radii_orig = jnp.zeros((1,), radii.dtype)
         return out, T_final, radii_orig

@@ -411,6 +411,19 @@ def _compositor_bwd_kernel(
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
         px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
         py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
+        # tile-center-relative pixel monomials [6, P]: all five spatial
+        # pair-grad reductions are weighted quadratic moments of dsigma, so
+        # ONE matmul dsigma @ Phi^T replaces five [IN, P] multiply+reduce
+        # chains on the VPU. Local coordinates keep the monomial magnitudes
+        # ~1e3-1e4, bounding the f32 cancellation error (global pixel coords
+        # would lose ~4 digits at 2048px).
+        cx0 = tx + tile_size * 0.5
+        cy0 = ty + tile_size * 0.5
+        pxc = px - cx0
+        pyc = py - cy0
+        phi = jnp.concatenate(
+            [pxc * pxc, pxc * pyc, pyc * pyc, pxc, pyc,
+             jnp.ones((1, P), jnp.float32)], axis=0)     # [6, P]
 
         row_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 1)
@@ -432,9 +445,10 @@ def _compositor_bwd_kernel(
             a = data[:, 2:3]
             b = data[:, 3:4]
             c = data[:, 4:5]
+            op = data[:, 5:6]
             sigma = 0.5 * (a * d0 * d0 + c * d1 * d1) + b * d0 * d1
             sigma_safe = jnp.clip(sigma, 0.0, 60.0)
-            raw = data[:, 5:6] * jnp.exp(-sigma_safe)
+            raw = op * jnp.exp(-sigma_safe)
             alpha = jnp.minimum(ALPHA_CLIP, raw)
             keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & m
             alpha = jnp.where(keep, alpha, 0.0)
@@ -463,14 +477,27 @@ def _compositor_bwd_kernel(
             inv_one_m = 1.0 / jnp.maximum(one_m, 1e-3)
             dalpha = jnp.where(keep, q * T_i - R_i * inv_one_m, 0.0)
             draw = jnp.where(raw < ALPHA_CLIP, dalpha, 0.0)
-            dop = jnp.sum(draw * jnp.exp(-sigma_safe) * keep,
-                          axis=1, keepdims=True)         # [IN, 1]
             dsigma = jnp.where(keep, -raw * draw, 0.0)   # [IN, P]
-            ga = jnp.sum(0.5 * d0 * d0 * dsigma, axis=1, keepdims=True)
-            gb = jnp.sum(d0 * d1 * dsigma, axis=1, keepdims=True)
-            gc = jnp.sum(0.5 * d1 * d1 * dsigma, axis=1, keepdims=True)
-            gx = jnp.sum((a * d0 + b * d1) * dsigma, axis=1, keepdims=True)
-            gy = jnp.sum((b * d0 + c * d1) * dsigma, axis=1, keepdims=True)
+            # quadratic moments of dsigma over the tile's pixels [IN, 6]
+            mom = jax.lax.dot_general(
+                dsigma, phi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=PREFIX_PRECISION,
+            )
+            m0, m1, m2 = mom[:, 0:1], mom[:, 1:2], mom[:, 2:3]
+            m3, m4, m5 = mom[:, 3:4], mom[:, 4:5], mom[:, 5:6]
+            xr = data[:, 0:1] - cx0                      # [IN, 1] local mean
+            yr = data[:, 1:2] - cy0
+            # d0 = xr - pxc: sum d0^k d1^l dsigma expands in the moments
+            ga = 0.5 * (xr * xr * m5 - 2.0 * xr * m3 + m0)
+            gb = xr * yr * m5 - xr * m4 - yr * m3 + m1
+            gc = 0.5 * (yr * yr * m5 - 2.0 * yr * m4 + m2)
+            u = xr * m5 - m3
+            v = yr * m5 - m4
+            gx = a * u + b * v
+            gy = b * u + c * v
+            # draw * exp(-sigma) == -dsigma / op, so dop is the 0th moment
+            dop = jnp.where(op > 0, -m5 / jnp.maximum(op, 1e-20), 0.0)
             dcol = jax.lax.dot_general(                  # [IN, C]
                 w, dout, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,

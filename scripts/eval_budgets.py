@@ -68,16 +68,16 @@ def main():
             g["primpos"][0], g["primscale"][0], g["primqvec"][0], Rt[0],
             K[0, 0, 0], K[0, 1, 1], K[0, 0, 2], K[0, 1, 2], img_h, img_w)
         out = {}
+        rx = proj["radii_xy"][:, 0]
+        ry = proj["radii_xy"][:, 1]
         for ts in (16, 32):
             ntx, nty = -(-img_w // ts), -(-img_h // ts)
-            x0 = jnp.clip(jnp.floor((proj["xys"][:, 0] - proj["radii"]) / ts),
+            x0 = jnp.clip(jnp.floor((proj["xys"][:, 0] - rx) / ts), 0, ntx)
+            x1 = jnp.clip(jnp.floor((proj["xys"][:, 0] + rx) / ts) + 1,
                           0, ntx)
-            x1 = jnp.clip(jnp.floor((proj["xys"][:, 0] + proj["radii"]) / ts)
-                          + 1, 0, ntx)
-            y0 = jnp.clip(jnp.floor((proj["xys"][:, 1] - proj["radii"]) / ts),
+            y0 = jnp.clip(jnp.floor((proj["xys"][:, 1] - ry) / ts), 0, nty)
+            y1 = jnp.clip(jnp.floor((proj["xys"][:, 1] + ry) / ts) + 1,
                           0, nty)
-            y1 = jnp.clip(jnp.floor((proj["xys"][:, 1] + proj["radii"]) / ts)
-                          + 1, 0, nty)
             n = jnp.where(proj["valid"] & (proj["radii"] > 0),
                           jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0),
                           0)
@@ -107,6 +107,16 @@ def main():
         ("half ts16/pbm2/mppt256",
          dict(tile_size=16, pair_budget_mult=2, max_pairs_per_tile=256,
               chunk=64, pallas_inner=64)),
+        # per-axis-radii era: demand dropped, so smaller global budgets
+        ("axis ts32/pbm1.5/mppt1024/c512",
+         dict(tile_size=32, pair_budget_mult=1.5, max_pairs_per_tile=1024,
+              chunk=512, pallas_inner=64)),
+        ("axis ts32/pbm1.25/mppt1024/c1024",
+         dict(tile_size=32, pair_budget_mult=1.25, max_pairs_per_tile=1024,
+              chunk=1024, pallas_inner=64)),
+        ("axis ts32/pbm1.0/mppt512/c512",
+         dict(tile_size=32, pair_budget_mult=1.0, max_pairs_per_tile=512,
+              chunk=512, pallas_inner=64)),
     ]
     mask = ref_alpha > 0.01
     print(f"ref coverage: {mask.mean():.4f} of pixels")

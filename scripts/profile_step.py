@@ -83,7 +83,7 @@ def main():
         max_pairs_per_tile=int(os.environ.get("GOLIATH_BENCH_MPPT", 1024)),
         chunk=int(os.environ.get("GOLIATH_BENCH_CHUNK", 256)),
         pallas_inner=int(os.environ.get("GOLIATH_BENCH_INNER", 64)),
-        pair_budget_mult=int(os.environ.get("GOLIATH_BENCH_PBM", 2)),
+        pair_budget_mult=float(os.environ.get("GOLIATH_BENCH_PBM", 2)),
         use_pallas=use_pallas,
         tile_size=int(os.environ.get("GOLIATH_BENCH_TS", 32)),
     )
@@ -111,7 +111,7 @@ def main():
                      jnp.floor((xys[:, 1] + radii) / tile_size) + 1], -1
                 ).astype(jnp.int32)
                 b = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty,
-                                 64, render_cfg["pair_budget_mult"] * N)
+                                 64, int(round(render_cfg["pair_budget_mult"] * N)))
                 return b.sorted_prim.sum() + b.tile_start.sum()
             return jax.vmap(one)(K, Rt, pos, quat, scale).sum()
 
@@ -218,7 +218,7 @@ def main():
                  jnp.floor((xys[:, 1] + radii) / tile_size) + 1], -1
             ).astype(jnp.int32)
             b = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty,
-                             64, render_cfg["pair_budget_mult"] * N)
+                             64, int(round(render_cfg["pair_budget_mult"] * N)))
             return xys, conics, op_s, chan, valid, b
 
         @jax.jit

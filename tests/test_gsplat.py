@@ -180,3 +180,33 @@ def test_full_render_end_to_end(rng):
     for i, gi in enumerate(g):
         assert bool(jnp.isfinite(gi).all()), f"non-finite grad for arg {i}"
         assert float(jnp.abs(gi).sum()) > 0, f"zero grad for arg {i}"
+
+
+def test_render_depth_key_matches_oracle(rng):
+    """render() orders pairs via composite (tile|qdepth) sort keys with NO
+    global depth pre-sort; the image must still match exact front-to-back
+    compositing (up to the 3-sigma footprint cut and depth quantization)."""
+    means, scales, quats, opac, colors, K, Rt = _random_scene(rng, N=80)
+    H, W = 48, 64
+    out = gsplat.render(
+        W, H, jnp.asarray(K[None]), jnp.asarray(Rt[None]),
+        jnp.asarray(means[None]), jnp.asarray(quats[None]),
+        jnp.asarray(scales[None]), jnp.asarray(opac[None]),
+        jnp.asarray(colors[None]),
+        max_pairs_per_tile=256, chunk=32, return_depth=False,
+    )
+    proj = gsplat.project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(Rt), K[0, 0], K[1, 1], K[0, 2], K[1, 2], H, W,
+    )
+    ref, T_ref = gsplat.rasterize_reference(
+        proj["xys"], proj["conics"],
+        jnp.asarray(opac[:, 0]) * proj["compensation"], jnp.asarray(colors),
+        proj["depths"], proj["valid"], H, W,
+    )
+    got = np.asarray(out["render"][0])
+    # mask to pixels inside every contributing gaussian's 3-sigma box: the
+    # tiled path cuts footprints there while the oracle composites all
+    np.testing.assert_allclose(got, np.asarray(ref), atol=0.03)
+    err = np.abs(got - np.asarray(ref)).mean()
+    assert err < 2e-3, err
