@@ -39,7 +39,11 @@ class TileBinning(NamedTuple):
     sorted_prim: jnp.ndarray   # [budget] prim index per pair (depth order/tile)
     tile_start: jnp.ndarray    # [num_tiles]
     tile_end: jnp.ndarray      # [num_tiles]
-    inv_perm: jnp.ndarray      # [budget] pre-sort slot -> sorted position
+    perm: jnp.ndarray          # [budget] sorted position -> pre-sort slot
+                               # (consumers invert with ONE at[perm].set
+                               # scatter where needed — cheaper than
+                               # materializing inv_perm here AND gathering
+                               # through it there)
     prim_offsets: jnp.ndarray  # [N] first pre-sort slot of each prim
     prim_ends: jnp.ndarray     # [N] one-past-last pre-sort slot of each prim
     tile_of_pair: jnp.ndarray  # [budget] owning tile id per sorted pair
@@ -157,10 +161,6 @@ def bin_to_tiles(
     keys_sorted, perm = jax.lax.sort((keys, slots), num_keys=1,
                                      is_stable=True)
     vals_sorted = vals[perm]
-    # invert the permutation with a unique-index scatter (a second 4M sort
-    # costs ~10x more than the scatter on TPU)
-    inv_perm = jnp.zeros((pair_budget,), jnp.int32).at[perm].set(
-        slots, mode="drop", unique_indices=True)
 
     # both segment bounds from ONE searchsorted: tile_end[t] ==
     # tile_start[t+1] for integer keys (unused slots carry the sentinel
@@ -174,7 +174,7 @@ def bin_to_tiles(
     tile_start = bounds[:-1]
     tile_end = bounds[1:]
     tile_of_pair = (keys_sorted >> shift) if shift else keys_sorted
-    return TileBinning(vals_sorted, tile_start, tile_end, inv_perm,
+    return TileBinning(vals_sorted, tile_start, tile_end, perm,
                        offsets.astype(jnp.int32), ends.astype(jnp.int32),
                        tile_of_pair, num_tiles_x, num_tiles_y)
 

@@ -242,7 +242,7 @@ def rasterize_tiled(
     chunk: int, ntx: int, nty: int,
 ):
     """binning_arrays: (sorted_prim, tile_start, tile_end, valid,
-    inv_perm, prim_offsets, prim_ends, tile_of_pair) — arrays only; static tile-grid dims
+    perm, prim_offsets, prim_ends, tile_of_pair) — arrays only; static tile-grid dims
     travel as nondiff args so they stay Python ints under jit (custom_vjp
     lifts every pytree leaf to a tracer)."""
     out, T_final = _rasterize_fwd_impl(
@@ -325,14 +325,17 @@ def _rasterize_fwd(xys, conics, opacities, colors, binning_arrays,
     return (out, T_final), res
 
 
-def reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets, prim_ends):
+def reduce_sorted_pair_grads(sorted_g, perm, prim_offsets, prim_ends):
     """Reduce per-pair grads (sorted-pair order [budget, F]) to per-prim sums
     [N, F] without scatter-add: permute into pre-sort order where each prim's
-    pairs are contiguous, then per-prim sums are prefix-sum differences.
+    pairs are contiguous (ONE unique-index row scatter at perm — the binning
+    no longer materializes an inverse permutation), then per-prim sums are
+    prefix-sum differences.
 
     The prefix sum runs as a single-pass Pallas kernel on TPU (XLA's cumsum
     at 4M x 16 costs ~250ms; the carry kernel is ~10x cheaper)."""
-    presort_g = sorted_g[inv_perm]                                  # [budget, F]
+    presort_g = jnp.zeros_like(sorted_g).at[perm].set(
+        sorted_g, mode="drop", unique_indices=True)                 # [budget, F]
     return reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
 
 
@@ -362,7 +365,7 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
     xys, conics, opacities, colors, binning_arrays, T_final = res
     dL_dout, dL_dT = grads
     (sorted_prim, tile_start, tile_end, valid,
-     inv_perm, prim_offsets, prim_ends) = binning_arrays[:7]
+     perm, prim_offsets, prim_ends) = binning_arrays[:7]
     P = tile_size * tile_size
     rows = _pack_rows(xys, conics, opacities, colors, valid, sorted_prim)
     rows = jnp.pad(rows, ((0, max_pairs_per_tile), (0, 0)))
@@ -444,21 +447,22 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
     )  # [T, maxpp, 6+C]
 
     # Reduce pair grads to gaussians WITHOUT scatter-add (TPU scatters
-    # serialize): (1) place each tile's grads into the sorted pair buffer —
-    # tile segments are disjoint so this is a unique-index set; (2) permute
-    # into pre-sort order where each prim's pairs are contiguous;
-    # (3) per-prim sums are prefix-sum differences (gathers only).
+    # serialize): (1) place each tile's grads DIRECTLY into pre-sort order
+    # (tile segments are disjoint and perm is a permutation, so this is a
+    # unique-index set; the perm lookup itself uses monotone indices, which
+    # the TPU gather unit streams cheaply); (2) per-prim sums are
+    # prefix-sum differences over the prim-contiguous pre-sort layout.
     maxpp = max_pairs_per_tile
     F = pair_grads.shape[-1]
     local = jnp.arange(maxpp, dtype=jnp.int32)[None]
     pair_pos = tile_start[:, None] + local                          # [T, maxpp]
     pair_ok = (pair_pos < tile_end[:, None])
-    pair_pos = jnp.where(pair_ok, pair_pos, budget)
+    presort_pos = jnp.where(
+        pair_ok, perm[jnp.clip(pair_pos, 0, budget - 1)], budget)
     flat_g = jnp.where(pair_ok[..., None], pair_grads, 0.0).reshape(-1, F)
-    sorted_g = jnp.zeros((budget, F)).at[pair_pos.reshape(-1)].set(
+    presort_g = jnp.zeros((budget, F)).at[presort_pos.reshape(-1)].set(
         flat_g, mode="drop", unique_indices=True)
-    acc = reduce_sorted_pair_grads(sorted_g, inv_perm, prim_offsets,
-                                   prim_ends)
+    acc = reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
 
     dxys = acc[:, 0:2]
     dconics = acc[:, 2:5]
@@ -473,6 +477,68 @@ rasterize_tiled.defvjp(_rasterize_fwd, _rasterize_bwd)
 # ---------------------------------------------------------------------------
 # full render (batched)
 # ---------------------------------------------------------------------------
+
+
+def prepare_sample(
+    K_b, Rt_b, pos, quat, scale, op, col,
+    cam_img_h: int, cam_img_w: int, tile_size: int,
+    z_near: float = 0.1, global_scale: float = 1.0,
+    max_tiles_per_prim: int = 64, pair_budget: int | None = None,
+    return_depth: bool = True,
+):
+    """Project one sample's gaussians and bin them to screen tiles.
+
+    Returns (xys, conics, op_s, chan, valid, radii, binning). No global
+    depth sort: per-tile depth order comes from a composite
+    (tile << bits | quantized-depth) sort key inside the binning (the CUDA
+    gsplat key design) — this removes an [N] argsort AND the [N]-row
+    reorder gather from every render."""
+    ntx = -(-cam_img_w // tile_size)
+    nty = -(-cam_img_h // tile_size)
+    N = pos.shape[0]
+    if pair_budget is None:
+        pair_budget = 4 * N
+    proj = project_gaussians(
+        pos, scale, quat, Rt_b,
+        K_b[0, 0], K_b[1, 1], K_b[0, 2], K_b[1, 2],
+        cam_img_h, cam_img_w, z_near, global_scale,
+    )
+    xys = proj["xys"]
+    conics = proj["conics"]
+    rx = proj["radii_xy"][:, 0]
+    ry = proj["radii_xy"][:, 1]
+    radii = proj["radii"]
+    op_s = (op.reshape(-1) * proj["compensation"])[:, None]
+    depth_s = proj["depths"]
+    valid = proj["valid"]
+    chan = col
+    if return_depth:
+        chan = jnp.concatenate([chan, depth_s[:, None]], axis=-1)
+
+    num_tiles = ntx * nty
+    dbits = 31 - int(num_tiles + 1).bit_length()
+    dmask = jnp.where(valid, depth_s, jnp.inf)
+    dmin = jnp.min(dmask)
+    dmax = jnp.max(jnp.where(valid, depth_s, -jnp.inf))
+    dspan = jnp.maximum(dmax - dmin, 1e-9)
+    qd = jnp.clip(
+        ((depth_s - dmin) / dspan * ((1 << dbits) - 1)),
+        0, (1 << dbits) - 1,
+    ).astype(jnp.int32)
+
+    t_min = jnp.stack(
+        [jnp.floor((xys[:, 0] - rx) / tile_size),
+         jnp.floor((xys[:, 1] - ry) / tile_size)], -1
+    ).astype(jnp.int32)
+    t_max = jnp.stack(
+        [jnp.floor((xys[:, 0] + rx) / tile_size) + 1,
+         jnp.floor((xys[:, 1] + ry) / tile_size) + 1], -1
+    ).astype(jnp.int32)
+    binning = bin_to_tiles(
+        t_min, t_max, valid & (radii > 0), ntx, nty,
+        max_tiles_per_prim, pair_budget, depth_keys=qd,
+    )
+    return xys, conics, op_s, chan, valid, radii, binning
 
 
 def render(
@@ -508,54 +574,15 @@ def render(
     N = primpos.shape[1]
 
     def one(K_b, Rt_b, pos, quat, scale, op, col):
-        proj = project_gaussians(
-            pos, scale, quat, Rt_b,
-            K_b[0, 0], K_b[1, 1], K_b[0, 2], K_b[1, 2],
-            cam_img_h, cam_img_w, z_near, global_scale,
-        )
-        # No global depth sort: per-tile depth order comes from a composite
-        # (tile << bits | quantized-depth) sort key inside the binning (the
-        # CUDA gsplat key design). This removes a 1M-element argsort AND the
-        # [N]-row reorder gather from every render.
-        xys = proj["xys"]
-        conics = proj["conics"]
-        rx = proj["radii_xy"][:, 0]
-        ry = proj["radii_xy"][:, 1]
-        radii = proj["radii"]
-        op_s = (op.reshape(-1) * proj["compensation"])[:, None]
-        depth_s = proj["depths"]
-        valid = proj["valid"]
-        chan = col
-        if return_depth:
-            chan = jnp.concatenate([chan, depth_s[:, None]], axis=-1)
-
-        num_tiles = ntx * nty
-        dbits = 31 - int(num_tiles + 1).bit_length()
-        dmask = jnp.where(valid, depth_s, jnp.inf)
-        dmin = jnp.min(dmask)
-        dmax = jnp.max(jnp.where(valid, depth_s, -jnp.inf))
-        dspan = jnp.maximum(dmax - dmin, 1e-9)
-        qd = jnp.clip(
-            ((depth_s - dmin) / dspan * ((1 << dbits) - 1)),
-            0, (1 << dbits) - 1,
-        ).astype(jnp.int32)
-
-        t_min = jnp.stack(
-            [jnp.floor((xys[:, 0] - rx) / tile_size),
-             jnp.floor((xys[:, 1] - ry) / tile_size)], -1
-        ).astype(jnp.int32)
-        t_max = jnp.stack(
-            [jnp.floor((xys[:, 0] + rx) / tile_size) + 1,
-             jnp.floor((xys[:, 1] + ry) / tile_size) + 1], -1
-        ).astype(jnp.int32)
-        binning = bin_to_tiles(
-            t_min, t_max, valid & (radii > 0), ntx, nty,
+        xys, conics, op_s, chan, valid, radii, binning = prepare_sample(
+            K_b, Rt_b, pos, quat, scale, op, col,
+            cam_img_h, cam_img_w, tile_size, z_near, global_scale,
             max_tiles_per_prim, int(round(pair_budget_mult * N)),
-            depth_keys=qd,
+            return_depth,
         )
         barrays = (
             binning.sorted_prim, binning.tile_start, binning.tile_end, valid,
-            binning.inv_perm, binning.prim_offsets, binning.prim_ends,
+            binning.perm, binning.prim_offsets, binning.prim_ends,
             binning.tile_of_pair,
         )
         if use_pallas:

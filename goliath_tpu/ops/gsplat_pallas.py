@@ -671,7 +671,7 @@ def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
     op_shape = opacities.shape
     dL_dout, dL_dT = grads
     (sorted_prim, tile_start, tile_end, valid,
-     inv_perm, prim_offsets, prim_ends, tile_of_pair) = binning_arrays
+     perm, prim_offsets, prim_ends, tile_of_pair) = binning_arrays
     out_flat, idx = pair_grads_pallas(
         None, None, opacities, colors, None,
         sorted_prim, tile_start, tile_end, tile_of_pair,
@@ -680,10 +680,14 @@ def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
         chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
         interpret=INTERPRET, rows_packed=rows,
     )
-    # compose the private-buffer index with the sort inversion so presort
-    # order comes from ONE [budget, F] row gather (row gathers at this
-    # scale are ~25ns/row on TPU; a second one is pure waste)
-    presort_g = out_flat[idx[inv_perm]][:, :6 + C]
+    # carry the private-buffer index into pre-sort order with ONE
+    # unique-index scatter (perm is a permutation), then ONE [budget, F]
+    # row gather — the binning no longer pays to invert the permutation
+    budget = sorted_prim.shape[0]
+    sentinel = out_flat.shape[0] - 1
+    idx_presort = jnp.full((budget,), sentinel, jnp.int32).at[perm].set(
+        idx, mode="drop", unique_indices=True)
+    presort_g = out_flat[idx_presort][:, :6 + C]
     from goliath_tpu.ops.gsplat import reduce_presort_pair_grads
 
     acc = reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)

@@ -84,12 +84,34 @@ def main():
                 xup, wf, (1, 1), [(2, 1), (2, 1)],
                 dimension_numbers=("NCHW", "OIHW", "NCHW"))
 
+        @jax.jit
+        def convt_bf16(x, w):
+            wf = jnp.flip(w, (-2, -1)).transpose(1, 0, 2, 3)
+            y = lax.conv_general_dilated(
+                x.astype(jnp.bfloat16), wf.astype(jnp.bfloat16), (1, 1),
+                [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32)
+            return y
+
+        @jax.jit
+        def convt_nhwc(x, w):
+            wf = jnp.flip(w, (-2, -1)).transpose(2, 3, 0, 1)  # HWIO
+            xn = x.transpose(0, 2, 3, 1)
+            y = lax.conv_general_dilated(
+                xn, wf, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y
+
         t1 = timeit(convt, x, w_iohw)
         t2 = timeit(subpix, x, w_iohw)
         xup = jax.random.normal(key, (B, cin, outres, outres))
         t3 = timeit(conv_ref, xup, w_iohw)
+        t4 = timeit(convt_bf16, x, w_iohw)
+        t5 = timeit(convt_nhwc, x, w_iohw)
         print(f"{cin:4d}->{cout:4d} @{outres:4d}: convt {t1*1e3:7.2f} ms  "
-              f"subpix {t2*1e3:7.2f} ms  dense-conv-at-out {t3*1e3:7.2f} ms",
+              f"subpix {t2*1e3:7.2f} ms  dense-conv-at-out {t3*1e3:7.2f} ms  "
+              f"bf16 {t4*1e3:7.2f} ms  nhwc {t5*1e3:7.2f} ms",
               flush=True)
 
 

@@ -91,32 +91,44 @@ def main():
     ntx = -(-img_w // tile_size)
     nty = -(-img_h // tile_size)
 
+    pbudget = int(round(render_cfg["pair_budget_mult"] * N))
+
     if "binning" in sections:
         @jax.jit
-        def binning_only(K, Rt, pos, quat, scale):
-            def one(K_b, Rt_b, p, q, s):
-                proj = gsplat.project_gaussians(
-                    p, s, q, Rt_b, K_b[0, 0], K_b[1, 1], K_b[0, 2],
-                    K_b[1, 2], img_h, img_w)
-                order = jnp.argsort(proj["depths"])
-                xys = proj["xys"][order]
-                radii = proj["radii"][order]
-                valid = proj["valid"][order]
-                t_min = jnp.stack(
-                    [jnp.floor((xys[:, 0] - radii) / tile_size),
-                     jnp.floor((xys[:, 1] - radii) / tile_size)], -1
-                ).astype(jnp.int32)
-                t_max = jnp.stack(
-                    [jnp.floor((xys[:, 0] + radii) / tile_size) + 1,
-                     jnp.floor((xys[:, 1] + radii) / tile_size) + 1], -1
-                ).astype(jnp.int32)
-                b = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty,
-                                 64, int(round(render_cfg["pair_budget_mult"] * N)))
-                return b.sorted_prim.sum() + b.tile_start.sum()
-            return jax.vmap(one)(K, Rt, pos, quat, scale).sum()
+        def binning_only(K, Rt, pos, quat, scale, op, col):
+            def one(K_b, Rt_b, p, q, s, o, c):
+                _, _, _, _, _, _, b = gsplat.prepare_sample(
+                    K_b, Rt_b, p, q, s, o, c, img_h, img_w, tile_size,
+                    pair_budget=pbudget)
+                return (b.sorted_prim.sum() + b.tile_start.sum()
+                        + b.perm.sum() + b.prim_offsets.sum())
+            return jax.vmap(one)(K, Rt, pos, quat, scale, op, col).sum()
 
-        t = timeit(binning_only, K, Rt, primpos, primqvec, primscale)
-        print(f"binning (proj+sort+bin): {t*1e3:8.1f} ms")
+        t = timeit(binning_only, K, Rt, primpos, primqvec, primscale,
+                   opacity, colors)
+        print(f"binning (proj+key+bin):  {t*1e3:8.1f} ms")
+
+    if "pack" in sections:
+        from goliath_tpu.ops.gsplat_pallas import pack_pair_rows
+
+        nchunks = (render_cfg["max_pairs_per_tile"]
+                   // render_cfg["chunk"] + 1)
+
+        @jax.jit
+        def pack_only(K, Rt, pos, quat, scale, op, col):
+            def one(K_b, Rt_b, p, q, s, o, c):
+                xys, conics, op_s, chan, valid, _, b = gsplat.prepare_sample(
+                    K_b, Rt_b, p, q, s, o, c, img_h, img_w, tile_size,
+                    pair_budget=pbudget)
+                rows = pack_pair_rows(
+                    xys, conics, op_s, chan, valid.astype(xys.dtype),
+                    b.sorted_prim, nchunks * render_cfg["chunk"])
+                return rows.sum()
+            return jax.vmap(one)(K, Rt, pos, quat, scale, op, col).sum()
+
+        t = timeit(pack_only, K, Rt, primpos, primqvec, primscale,
+                   opacity, colors)
+        print(f"binning+pack rows:       {t*1e3:8.1f} ms")
 
     if "render_fwd" in sections:
         @jax.jit
@@ -181,6 +193,44 @@ def main():
 
                 t = timeit(mbwd, params, jb, rng)
                 print(f"model fwd+bwd (no rndr): {t*1e3:8.1f} ms")
+
+            if "model_nodec" in sections:
+                # also neutralize the prim decoder: what's left is encoder +
+                # geom decoder + cal/blur/backlit plumbing
+                import goliath_tpu.models.rgca as rgca_mod
+                real_call = rgca_mod._call_prim_decoder
+
+                def fake_call(dec, embs, geom, *a, **kw):
+                    B_, S = embs.shape[0], model.module.slabsize
+                    Npix = S * S
+                    v = embs.sum() * 1e-9 + geom.sum() * 1e-9
+                    z3 = jnp.zeros((B_, Npix, 3)) + v
+                    return dict(
+                        color=z3, opacity=z3[..., :1] + 0.5, primpos=z3,
+                        primqvec=jnp.concatenate(
+                            [z3, jnp.ones((B_, Npix, 1))], -1),
+                        primscale=z3 + 1.0, primscale_preclip=z3 + 1.0,
+                        sigma=z3[..., 0], spec_vis=z3[..., :1],
+                        spec_nml=z3, spec_dnml=z3, diff_color=z3,
+                        spec_color=z3, primnmlbase=z3,
+                        cos_weight=z3[..., :1], color_rand=z3)
+
+                rgca_mod._call_prim_decoder = fake_call
+                try:
+                    @jax.jit
+                    def mnd(p, batch, rng):
+                        def f(p):
+                            preds = model.apply(p, batch, train=True,
+                                                rngs={"noise": rng})
+                            return preds["rgb"].sum() + preds["geom"].sum()
+                        g = jax.grad(f)(p)
+                        return sum(jnp.sum(x) for x in
+                                   jax.tree_util.tree_leaves(g))
+
+                    t = timeit(mnd, params, jb, rng)
+                    print(f"model f+b (no dec/rndr): {t*1e3:8.1f} ms")
+                finally:
+                    rgca_mod._call_prim_decoder = real_call
         finally:
             gsplat_mod.render = real_render
 
@@ -199,26 +249,9 @@ def main():
         inner = render_cfg["pallas_inner"]
 
         def make_binned(K_b, Rt_b, pos, quat, scale, op, col):
-            proj = gsplat.project_gaussians(
-                pos, scale, quat, Rt_b, K_b[0, 0], K_b[1, 1], K_b[0, 2],
-                K_b[1, 2], img_h, img_w)
-            order = jnp.argsort(proj["depths"])
-            xys = proj["xys"][order]
-            conics = proj["conics"][order]
-            radii = proj["radii"][order]
-            valid = proj["valid"][order]
-            op_s = (op.reshape(-1))[order][:, None]
-            chan = col[order]
-            t_min = jnp.stack(
-                [jnp.floor((xys[:, 0] - radii) / tile_size),
-                 jnp.floor((xys[:, 1] - radii) / tile_size)], -1
-            ).astype(jnp.int32)
-            t_max = jnp.stack(
-                [jnp.floor((xys[:, 0] + radii) / tile_size) + 1,
-                 jnp.floor((xys[:, 1] + radii) / tile_size) + 1], -1
-            ).astype(jnp.int32)
-            b = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty,
-                             64, int(round(render_cfg["pair_budget_mult"] * N)))
+            xys, conics, op_s, chan, valid, _, b = gsplat.prepare_sample(
+                K_b, Rt_b, pos, quat, scale, op, col, img_h, img_w,
+                tile_size, pair_budget=pbudget, return_depth=False)
             return xys, conics, op_s, chan, valid, b
 
         @jax.jit
@@ -274,7 +307,7 @@ def main():
                 chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
             from goliath_tpu.ops.gsplat import reduce_presort_pair_grads
             C = chan.shape[-1]
-            presort_g = out_flat[idx[b.inv_perm]][:, :6 + C]
+            presort_g = out_flat[jnp.full((b.sorted_prim.shape[0],), out_flat.shape[0]-1, jnp.int32).at[b.perm].set(idx, mode='drop', unique_indices=True)][:, :6 + C]
             acc = reduce_presort_pair_grads(
                 presort_g, b.prim_offsets, b.prim_ends)
             return acc.sum()

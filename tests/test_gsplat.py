@@ -93,7 +93,7 @@ def test_tiled_matches_reference(rng):
     out, T = gsplat.rasterize_tiled(
         xys, conics, op, col,
         (binning.sorted_prim, binning.tile_start, binning.tile_end, valid,
-         binning.inv_perm, binning.prim_offsets, binning.prim_ends),
+         binning.perm, binning.prim_offsets, binning.prim_ends),
         H, W, ts, 128, 16, ntx, nty,
     )
     # tiled drops out-of-radius contributions (alpha cutoff handles this:
@@ -124,7 +124,7 @@ def test_tiled_gradients_match_reference(rng):
         out, T = gsplat.rasterize_tiled(
             xys_, conics_, op_, col_,
             (binning.sorted_prim, binning.tile_start, binning.tile_end,
-             valid, binning.inv_perm, binning.prim_offsets,
+             valid, binning.perm, binning.prim_offsets,
              binning.prim_ends),
             H, W, ts, 128, 16, ntx, nty,
         )

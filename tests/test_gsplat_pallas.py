@@ -59,7 +59,7 @@ def test_pallas_vjp_matches_xla(rng):
          jnp.floor((xys[:, 1] + radii) / ts) + 1], -1).astype(jnp.int32)
     binning = bin_to_tiles(t_min, t_max, valid & (radii > 0), ntx, nty, 64)
     barrays = (binning.sorted_prim, binning.tile_start, binning.tile_end,
-               valid, binning.inv_perm, binning.prim_offsets,
+               valid, binning.perm, binning.prim_offsets,
                binning.prim_ends, binning.tile_of_pair)
 
     def loss_xla(xys, conics, op, col):
@@ -125,7 +125,7 @@ def test_pallas_overflow_tile_grads(rng):
          jnp.floor((xys[:, 1] + radii) / ts) + 1], -1).astype(jnp.int32)
     binning = bin_to_tiles(t_min, t_max, valid, ntx, nty, 16, 4 * N)
     barrays = (binning.sorted_prim, binning.tile_start, binning.tile_end,
-               valid, binning.inv_perm, binning.prim_offsets,
+               valid, binning.perm, binning.prim_offsets,
                binning.prim_ends, binning.tile_of_pair)
     # confirm the scene actually overflows the block budget on tile 0
     npairs0 = int(binning.tile_end[0] - binning.tile_start[0])
