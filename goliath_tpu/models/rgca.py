@@ -157,6 +157,7 @@ class PrimDecoder(nn.Module):
     slabsize: int = 1024
     n_diff_sh: int = 8
     n_color_sh: int = 3
+    remat_pyramids: bool = True
 
     @nn.compact
     def __call__(
@@ -194,8 +195,12 @@ class PrimDecoder(nn.Module):
 
         # rematerialized: the conv-transpose pyramids to slabsize^2 dominate
         # training memory (hundreds of MB of activations per sample at 1024^2)
-        # while costing little to recompute relative to the splat render
-        pyramid = nn.remat(_prim_pyramid, static_argnums=(2, 3, 4))
+        # while costing little to recompute relative to the splat render.
+        # When the WHOLE decoder is already under remat (remat_decoder), a
+        # nested pyramid remat would re-run the pyramids a third time for
+        # zero memory benefit — the caller disables it then.
+        pyramid = (nn.remat(_prim_pyramid, static_argnums=(2, 3, 4))
+                   if self.remat_pyramids else _prim_pyramid)
 
         f_vnocond = pyramid(self, h0, vind_ch, "vnocond", 256)
 
@@ -415,6 +420,7 @@ class _RGCANet(nn.Module):
             color_mean=self.color_mean,
             slabsize=self.slabsize,
             n_diff_sh=self.n_diff_sh,
+            remat_pyramids=not self.remat_decoder,
             name="decoder",
             **dict(self.decoder_cfg),
         )

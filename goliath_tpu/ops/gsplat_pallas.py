@@ -17,8 +17,11 @@ lower-triangular matmul on the MXU (cumprod/cumsum have no Mosaic lowering).
 
 `rasterize_tiled_pl` is the full custom-VJP rasterizer: both the forward
 compositor and the backward per-pair gradient march run as Pallas kernels
-(the per-prim reduction reuses gsplat.reduce_sorted_pair_grads). The fwd
-early-out is made consistent with bwd via a per-tile processed-block count.
+(the per-prim reduction reuses gsplat.reduce_sorted_pair_grads). The bwd
+marches FRONT-TO-BACK like the fwd (suffix terms recovered as
+total-minus-prefix from the fwd's rendered image), writing pair grads
+directly into sorted-pair order; the fwd early-out is replayed exactly via
+a per-tile processed-block count.
 Reference parity: gsplat/renderers CUDA fwd/bwd rasterization
 (reference gsplat rasterize kernels); the XLA path in ops/gsplat.py is the
 oracle.
@@ -351,27 +354,33 @@ def rasterize_tiled_pallas_fwd(
 # backward kernel
 # ---------------------------------------------------------------------------
 #
-# Mirrors gsplat._rasterize_bwd (re-march back-to-front from the saved final
-# transmittance). Grid = (tiles, nchunks) with the chunk axis REVERSED in the
-# index_map so chunks stream far-to-near; scratch carries the running
-# transmittance T and the scalar suffix term R = dout . S + dT * Tf per
-# pixel. Suffix prefix-sums inside a chunk are upper-triangular matmuls in
-# log space (cumsum/cumprod have no Mosaic lowering).
+# Marches FRONT-TO-BACK exactly like the forward (same grid order, same
+# early-out cutoff), using the identity
+#     R_i := dT*Tf + sum_{j>i} w_j q_j  =  dT*Tf + dout.out - prefix_i(wq)
+# (out is the forward's rendered tile, so the suffix becomes total-minus-
+# prefix). Forward marching means every grid step's output block index is
+# monotone non-decreasing with only CONSECUTIVE revisits, so pair grads are
+# written DIRECTLY into sorted-pair order in shared chunk-aligned blocks —
+# no private per-(tile, block) buffer (which cost ~nchunks x budget x 64B
+# of HBM), no buffer-row index bookkeeping, and no 2M-row gather afterward.
+# Adjacent tiles sharing a boundary block accumulate into it (+=) after a
+# zero-init on first visit (tracked via an SMEM previous-block scratch).
 #
-# Output is a PRIVATE per-(tile, chunk-block) buffer [T*nchunks, chunk, 16]
-# (aligned blocks of adjacent tiles can overlap in sorted-pair space, so
-# writing sorted order directly would clobber); a host-side gather maps it
-# back to sorted-pair order for the shared scatter-free per-prim reduction.
+# Per-pair spatial grads are quadratic moments of dsigma: ONE matmul
+# dsigma @ Phi^T against tile-local pixel monomials replaces five [IN, P]
+# multiply+reduce chains on the VPU. Local coordinates keep monomial
+# magnitudes ~1e3-1e4, bounding f32 cancellation (global pixel coords
+# would lose ~4 digits at 2048px).
 
 _LOG_CLIP = 46.05  # log(1e20); matches clip(rev_cum, 1e-20) in the XLA bwd
 
 
 def _compositor_bwd_kernel(
     start_ref, end_ref, cnt_ref,  # scalar prefetch [T]; cnt = fwd cutoff
-    rows_ref,                  # [chunk, F] pair rows (reversed chunk order)
-    g_ref,                     # [1, C+2, P]: dout rows, dT row, Tf row
-    out_ref,                   # [1, chunk, 16] pair grads for this block
-    T_scr, R_scr,              # VMEM scratch [1, P] each
+    rows_ref,                  # [chunk, F] pair rows (fwd block order)
+    g_ref,                     # [1, 2C+2, P]: dout rows, dT, Tf, out rows
+    out_ref,                   # [chunk, 16] pair grads, sorted-pair order
+    T_scr, Pq_scr, prev_scr,   # VMEM [1, P] x2; SMEM [1] previous block id
     *, chunk: int, inner: int, tile_size: int, ntx: int, n_chan: int,
 ):
     t = pl.program_id(0)
@@ -381,42 +390,47 @@ def _compositor_bwd_kernel(
     P = tile_size * tile_size
     C = n_chan
 
+    @pl.when((t == 0) & (j == 0))
+    def _():
+        prev_scr[0] = -1
+
+    ob = start // chunk + j  # absolute sorted-space block this step owns
+    # steps past the tile's LAST real block are clamped onto it by the out
+    # index_map (so the out-block sequence stays monotone with only
+    # consecutive revisits — an unclamped idle step would flush the shared
+    # boundary block early and the next tile's zero-init would destroy it)
+    obc = jnp.minimum(ob, jnp.maximum(end - 1, start) // chunk)
+
+    # zero-init each block on FIRST visit; must run even for no-work steps
+    # so blocks the fwd early-out skipped hold zeros, not garbage
+    @pl.when(obc != prev_scr[0])
+    def _():
+        out_ref[...] = jnp.zeros((chunk, 16), jnp.float32)
+        prev_scr[0] = obc
+
     dout = g_ref[0, :C]                      # [C, P]
     dT = g_ref[0, C:C + 1]                   # [1, P]
     Tf = g_ref[0, C + 1:C + 2]               # [1, P]
+    out_img = g_ref[0, C + 2:2 * C + 2]      # [C, P] fwd-rendered tile
 
     @pl.when(j == 0)
     def _():
-        T_scr[:] = Tf
-        R_scr[:] = dT * Tf
+        T_scr[:] = jnp.ones((1, P), jnp.float32)
+        # running prefix of wq; R_i = dT*Tf + dout.out - prefix_i(wq)
+        Pq_scr[:] = jnp.zeros((1, P), jnp.float32)
 
-    nj = pl.num_programs(1)
-    jj = nj - 1 - j            # fwd block index (bwd streams far-to-near)
-    base = (start // chunk + jj) * chunk
-    # replay ONLY blocks the fwd composited: the fwd early-outs once T
-    # saturates, so unwinding T through skipped blocks would exponentially
-    # over-recover (grads for skipped pairs are exactly zero in fwd)
-    have_work = (base < end) & (base + chunk > start) & (jj < cnt_ref[t])
-
-    @pl.when(jnp.logical_not(have_work))
-    def _():
-        out_ref[0] = jnp.zeros((chunk, 16), jnp.float32)
+    base = ob * chunk
+    # replay ONLY blocks the fwd composited (identical cutoff, identical
+    # marching direction => identical T trajectory)
+    have_work = (base < end) & (base + chunk > start) & (j < cnt_ref[t])
 
     @pl.when(have_work)
     def _():
-        # skipped sub-chunks below must leave zero grads, not garbage
-        out_ref[0] = jnp.zeros((chunk, 16), jnp.float32)
         tx = (t % ntx) * tile_size
         ty = (t // ntx) * tile_size
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
         px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
         py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
-        # tile-center-relative pixel monomials [6, P]: all five spatial
-        # pair-grad reductions are weighted quadratic moments of dsigma, so
-        # ONE matmul dsigma @ Phi^T replaces five [IN, P] multiply+reduce
-        # chains on the VPU. Local coordinates keep the monomial magnitudes
-        # ~1e3-1e4, bounding the f32 cancellation error (global pixel coords
-        # would lose ~4 digits at 2048px).
         cx0 = tx + tile_size * 0.5
         cy0 = ty + tile_size * 0.5
         pxc = px - cx0
@@ -427,14 +441,20 @@ def _compositor_bwd_kernel(
 
         row_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 1)
-        tri_inc = (col_i >= row_i).astype(jnp.float32)   # suffix incl. self
-        tri_exc = (col_i > row_i).astype(jnp.float32)    # strict suffix
+        tri_exc = (col_i < row_i).astype(jnp.float32)    # strict prefix
+        tri_inc = (col_i <= row_i).astype(jnp.float32)   # prefix incl. self
+
+        R0 = dT * Tf + jax.lax.dot_general(              # [1, P] constant
+            jnp.ones((1, C), jnp.float32), dout * out_img,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
         lo = jnp.maximum(start - base, 0) // inner
         hi = (jnp.minimum(end - base, chunk) + inner - 1) // inner
 
         def sub(si, _):
-            off = (lo + hi - 1 - si) * inner             # far-to-near
+            off = si * inner                             # near-to-far
             data = rows_ref[pl.ds(off, inner), :]        # [IN, F]
             ridx = base + off + jax.lax.broadcasted_iota(
                 jnp.int32, (inner, 1), 0)
@@ -456,24 +476,25 @@ def _compositor_bwd_kernel(
             cols = data[:, 8:8 + C]                      # [IN, C]
 
             lg = jnp.log(one_m)                          # <= 0
-            suff_inc = jax.lax.dot_general(
-                tri_inc, lg, (((1,), (0,)), ((), ())),
+            pre_exc = jax.lax.dot_general(               # strict prefix
+                tri_exc, lg, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=PREFIX_PRECISION,
             )                                            # [IN, P]
             T_i = T_scr[:] * jnp.exp(
-                jnp.minimum(-suff_inc, _LOG_CLIP))       # T before elem i
+                jnp.maximum(pre_exc, -_LOG_CLIP))        # T before elem i
             w = alpha * T_i                              # [IN, P]
             q = jax.lax.dot_general(                     # dout . col_i
                 cols, dout, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                            # [IN, P]
             wq = w * q
-            R_i = R_scr[:] + jax.lax.dot_general(        # suffix of wq
-                tri_exc, wq, (((1,), (0,)), ((), ())),
+            pref_inc = Pq_scr[:] + jax.lax.dot_general(  # prefix incl. i
+                tri_inc, wq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=PREFIX_PRECISION,
             )                                            # [IN, P]
+            R_i = R0 - pref_inc                          # suffix after i
             inv_one_m = 1.0 / jnp.maximum(one_m, 1e-3)
             dalpha = jnp.where(keep, q * T_i - R_i * inv_one_m, 0.0)
             draw = jnp.where(raw < ALPHA_CLIP, dalpha, 0.0)
@@ -503,13 +524,17 @@ def _compositor_bwd_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-            out_ref[0, pl.ds(off, inner), :] = jnp.concatenate(
-                [gx, gy, ga, gb, gc, dop, dcol,
-                 jnp.zeros((inner, 16 - 6 - C), jnp.float32)], axis=1)
+            # ACCUMULATE: a boundary block's rows are split between two
+            # adjacent tiles; each adds its (masked-to-zero elsewhere) part
+            out_ref[pl.ds(off, inner), :] = (
+                out_ref[pl.ds(off, inner), :]
+                + jnp.concatenate(
+                    [gx, gy, ga, gb, gc, dop, dcol,
+                     jnp.zeros((inner, 16 - 6 - C), jnp.float32)], axis=1))
 
-            R_scr[:] += jnp.sum(wq, axis=0, keepdims=True)
-            T_scr[:] = T_scr[:] * jnp.exp(jnp.minimum(
-                -jnp.sum(lg, axis=0, keepdims=True), _LOG_CLIP))
+            Pq_scr[:] += jnp.sum(wq, axis=0, keepdims=True)
+            T_scr[:] = T_scr[:] * jnp.exp(jnp.maximum(
+                jnp.sum(lg, axis=0, keepdims=True), -_LOG_CLIP))
             return 0
 
         lax.fori_loop(lo, hi, sub, 0)
@@ -528,12 +553,13 @@ def pair_grads_pallas(
     max_pairs_per_tile: int = 512,
     interpret: bool = False,
     rows_packed: jnp.ndarray | None = None,
+    out_img: jnp.ndarray | None = None,   # [C, H, W] fwd render (required)
 ) -> jnp.ndarray:
-    """Private-buffer pair grads + index mapping sorted pair -> buffer row.
+    """Per-pair gradients in SORTED-PAIR order [budget, 16].
 
-    Returns (out_flat [T*nchunks*chunk + 1, 16] with a zero sentinel row,
-    idx [budget] int32). Gather out_flat[idx][:, :6+C] for sorted-pair-order
-    grads (dx, dy, d_conic(3), d_opacity, d_color(C))."""
+    The kernel marches front-to-back (same direction and cutoff as the fwd)
+    and writes grads straight into sorted-pair-space chunk blocks — columns
+    are (dx, dy, d_conic(3), d_opacity, d_color(C), 0-pad)."""
     inner = min(inner, chunk)
     N, C = colors.shape
     budget = sorted_prim.shape[0]
@@ -547,17 +573,21 @@ def pair_grads_pallas(
     else:
         rows = pack_pair_rows(xys, conics, opacities, colors, valid,
                               sorted_prim, nchunks * chunk)
+    if rows.shape[0] % chunk:
+        rows = jnp.pad(rows, ((0, (-rows.shape[0]) % chunk), (0, 0)))
 
-    # per-tile gradient/state planes packed as one [T, C+2, P] operand
+    # per-tile gradient/state planes packed as one [T, 2C+2, P] operand:
+    # dout rows, dT, Tf, and the fwd-rendered tile (for suffix-from-total)
     pad_h = nty * tile_size - img_h
     pad_w = ntx * tile_size - img_w
     g = jnp.concatenate(
-        [dL_dout, dL_dT[None], T_final[None]], axis=0)   # [C+2, H, W]
+        [dL_dout, dL_dT[None], T_final[None], out_img], axis=0)
     g = jnp.pad(g, ((0, 0), (0, pad_h), (0, pad_w)))
-    g = g.reshape(C + 2, nty, tile_size, ntx, tile_size)
-    g = g.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, C + 2, P)
+    g = g.reshape(2 * C + 2, nty, tile_size, ntx, tile_size)
+    g = g.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, 2 * C + 2, P)
 
     T_tiles = ntx * nty
+    nblocks = rows.shape[0] // chunk  # budget + pad, chunk-aligned
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -565,20 +595,23 @@ def pair_grads_pallas(
         in_specs=[
             pl.BlockSpec(
                 (chunk, feat),
-                lambda t, j, start, end, cnt:
-                    (start[t] // chunk + (nchunks - 1 - j), 0),
+                lambda t, j, start, end, cnt: (start[t] // chunk + j, 0),
             ),
-            pl.BlockSpec((1, C + 2, P),
+            pl.BlockSpec((1, 2 * C + 2, P),
                          lambda t, j, start, end, cnt: (t, 0, 0)),
         ],
+        # clamp idle steps onto the tile's last real block so the block
+        # sequence is monotone with only consecutive revisits (see kernel)
         out_specs=pl.BlockSpec(
-            (1, chunk, 16),
-            lambda t, j, start, end, cnt:
-                (t * nchunks + (nchunks - 1 - j), 0, 0),
+            (chunk, 16),
+            lambda t, j, start, end, cnt: (jnp.minimum(
+                start[t] // chunk + j,
+                jnp.maximum(end[t] - 1, start[t]) // chunk), 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     kernel = functools.partial(
@@ -588,34 +621,10 @@ def pair_grads_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (T_tiles * nchunks, chunk, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblocks * chunk, 16), jnp.float32),
         interpret=interpret,
     )(tile_start, tile_end, cnt, rows, g)
-
-    # Map each sorted pair to its private-buffer row; the owning tile comes
-    # straight from the binning (tile_of_pair is the sorted key array —
-    # re-deriving it here would cost another 4M merge sort). Out-of-window
-    # pairs (never composited by the fwd) point at a zero sentinel row —
-    # without the window guard their index would spill into the NEXT tile's
-    # buffer and steal that tile's gradients.
-    out_flat = out.reshape(T_tiles * nchunks * chunk, 16)
-    sentinel = T_tiles * nchunks * chunk
-    out_flat = jnp.concatenate(
-        [out_flat, jnp.zeros((1, 16), out_flat.dtype)], axis=0)
-    s = jnp.arange(budget, dtype=jnp.int32)
-    t_of = jnp.clip(tile_of_pair, 0, T_tiles - 1)
-    ok = (tile_of_pair < T_tiles) & (s >= tile_start[t_of]) \
-        & (s < tile_end[t_of])
-    align = (tile_start[t_of] // chunk) * chunk
-    ok &= (s - align) < nchunks * chunk
-    idx = jnp.where(ok, t_of * (nchunks * chunk) + (s - align), sentinel)
-    return out_flat, idx
-
-
-def pair_grads_sorted(out_flat, idx, n_chan):
-    """[budget, 6+C] pair grads in sorted-pair order (one row gather)."""
-    return out_flat[idx][:, :6 + n_chan]
+    return out[:budget]
 
 
 # ---------------------------------------------------------------------------
@@ -661,36 +670,29 @@ def _pl_fwd(xys, conics, opacities, colors, binning_arrays,
         interpret=INTERPRET, rows_packed=rows,
     )
     return (out, T_final), (rows, opacities, colors, binning_arrays,
-                            T_final, cnt)
+                            out, T_final, cnt)
 
 
 def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
             ntx, nty, res, grads):
-    rows, opacities, colors, binning_arrays, T_final, cnt = res
+    rows, opacities, colors, binning_arrays, out_img, T_final, cnt = res
     C = colors.shape[1]
     op_shape = opacities.shape
     dL_dout, dL_dT = grads
     (sorted_prim, tile_start, tile_end, valid,
      perm, prim_offsets, prim_ends, tile_of_pair) = binning_arrays
-    out_flat, idx = pair_grads_pallas(
+    sorted_g = pair_grads_pallas(
         None, None, opacities, colors, None,
         sorted_prim, tile_start, tile_end, tile_of_pair,
         dL_dout, dL_dT, T_final, cnt,
         img_h, img_w, tile_size, ntx, nty,
         chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
-        interpret=INTERPRET, rows_packed=rows,
+        interpret=INTERPRET, rows_packed=rows, out_img=out_img,
     )
-    # carry the private-buffer index into pre-sort order with ONE
-    # unique-index scatter (perm is a permutation), then ONE [budget, F]
-    # row gather — the binning no longer pays to invert the permutation
-    budget = sorted_prim.shape[0]
-    sentinel = out_flat.shape[0] - 1
-    idx_presort = jnp.full((budget,), sentinel, jnp.int32).at[perm].set(
-        idx, mode="drop", unique_indices=True)
-    presort_g = out_flat[idx_presort][:, :6 + C]
-    from goliath_tpu.ops.gsplat import reduce_presort_pair_grads
+    from goliath_tpu.ops.gsplat import reduce_sorted_pair_grads
 
-    acc = reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
+    acc = reduce_sorted_pair_grads(sorted_g[:, :6 + C], perm,
+                                   prim_offsets, prim_ends)
     dxys = acc[:, 0:2]
     dconics = acc[:, 2:5]
     dopacities = acc[:, 5:6].reshape(op_shape)

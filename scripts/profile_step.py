@@ -278,13 +278,14 @@ def main():
                 b.sorted_prim, b.tile_start, b.tile_end,
                 img_h, img_w, tile_size, ntx, nty,
                 chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
-            out_flat, idx = pair_grads_pallas(
+            sorted_g = pair_grads_pallas(
                 xys, conics, op_s, chan, valid.astype(jnp.float32),
                 b.sorted_prim, b.tile_start, b.tile_end, b.tile_of_pair,
                 jnp.ones_like(out), jnp.ones_like(Tf), Tf, cnt,
                 img_h, img_w, tile_size, ntx, nty,
-                chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
-            return out_flat.sum() + idx.sum()
+                chunk=chunk, inner=inner, max_pairs_per_tile=mppt,
+                out_img=out)
+            return sorted_g.sum()
 
         t = timeit(kernel_bwd, K, Rt, primpos, primqvec, primscale,
                    opacity, colors)
@@ -299,17 +300,17 @@ def main():
                 b.sorted_prim, b.tile_start, b.tile_end,
                 img_h, img_w, tile_size, ntx, nty,
                 chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
-            out_flat, idx = pair_grads_pallas(
+            sorted_g = pair_grads_pallas(
                 xys, conics, op_s, chan, valid.astype(jnp.float32),
                 b.sorted_prim, b.tile_start, b.tile_end, b.tile_of_pair,
                 jnp.ones_like(out), jnp.ones_like(Tf), Tf, cnt,
                 img_h, img_w, tile_size, ntx, nty,
-                chunk=chunk, inner=inner, max_pairs_per_tile=mppt)
-            from goliath_tpu.ops.gsplat import reduce_presort_pair_grads
+                chunk=chunk, inner=inner, max_pairs_per_tile=mppt,
+                out_img=out)
+            from goliath_tpu.ops.gsplat import reduce_sorted_pair_grads
             C = chan.shape[-1]
-            presort_g = out_flat[jnp.full((b.sorted_prim.shape[0],), out_flat.shape[0]-1, jnp.int32).at[b.perm].set(idx, mode='drop', unique_indices=True)][:, :6 + C]
-            acc = reduce_presort_pair_grads(
-                presort_g, b.prim_offsets, b.prim_ends)
+            acc = reduce_sorted_pair_grads(
+                sorted_g[:, :6 + C], b.perm, b.prim_offsets, b.prim_ends)
             return acc.sum()
 
         t = timeit(kernel_bwd_reduce, K, Rt, primpos, primqvec, primscale,
