@@ -366,11 +366,9 @@ def rasterize_tiled_pallas_fwd(
 # Adjacent tiles sharing a boundary block accumulate into it (+=) after a
 # zero-init on first visit (tracked via an SMEM previous-block scratch).
 #
-# Per-pair spatial grads are quadratic moments of dsigma: ONE matmul
-# dsigma @ Phi^T against tile-local pixel monomials replaces five [IN, P]
-# multiply+reduce chains on the VPU. Local coordinates keep monomial
-# magnitudes ~1e3-1e4, bounding f32 cancellation (global pixel coords
-# would lose ~4 digits at 2048px).
+# Per-pair spatial grads use direct [IN, P] multiply+reduce chains — see
+# the in-kernel note for why a moment-matmul reformulation is numerically
+# unsound for the first moments (position grads).
 
 _LOG_CLIP = 46.05  # log(1e20); matches clip(rev_cum, 1e-20) in the XLA bwd
 
@@ -431,13 +429,6 @@ def _compositor_bwd_kernel(
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
         px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
         py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
-        cx0 = tx + tile_size * 0.5
-        cy0 = ty + tile_size * 0.5
-        pxc = px - cx0
-        pyc = py - cy0
-        phi = jnp.concatenate(
-            [pxc * pxc, pxc * pyc, pyc * pyc, pxc, pyc,
-             jnp.ones((1, P), jnp.float32)], axis=0)     # [6, P]
 
         row_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 1)
@@ -499,26 +490,26 @@ def _compositor_bwd_kernel(
             dalpha = jnp.where(keep, q * T_i - R_i * inv_one_m, 0.0)
             draw = jnp.where(raw < ALPHA_CLIP, dalpha, 0.0)
             dsigma = jnp.where(keep, -raw * draw, 0.0)   # [IN, P]
-            # quadratic moments of dsigma over the tile's pixels [IN, 6]
-            mom = jax.lax.dot_general(
-                dsigma, phi, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=PREFIX_PRECISION,
-            )
-            m0, m1, m2 = mom[:, 0:1], mom[:, 1:2], mom[:, 2:3]
-            m3, m4, m5 = mom[:, 3:4], mom[:, 4:5], mom[:, 5:6]
-            xr = data[:, 0:1] - cx0                      # [IN, 1] local mean
-            yr = data[:, 1:2] - cy0
-            # d0 = xr - pxc: sum d0^k d1^l dsigma expands in the moments
-            ga = 0.5 * (xr * xr * m5 - 2.0 * xr * m3 + m0)
-            gb = xr * yr * m5 - xr * m4 - yr * m3 + m1
-            gc = 0.5 * (yr * yr * m5 - 2.0 * yr * m4 + m2)
-            u = xr * m5 - m3
-            v = yr * m5 - m4
+            # Direct per-row reductions. A "moments @ monomial basis" MXU
+            # reformulation (dsigma @ phi^T, grads recovered as moment
+            # combinations) is numerically unsound for the FIRST moments:
+            # position grads are tiny differences of large terms
+            # (u = xr*m5 - m3), so basis-expansion rounding is amplified
+            # by |m3| / |u| (unbounded). Keep the sums in direct form.
+            t0 = d0 * dsigma                             # [IN, P]
+            t1 = d1 * dsigma
+            ga = 0.5 * jnp.sum(d0 * t0, axis=1, keepdims=True)
+            gb = jnp.sum(d1 * t0, axis=1, keepdims=True)
+            gc = 0.5 * jnp.sum(d1 * t1, axis=1, keepdims=True)
+            u = jnp.sum(t0, axis=1, keepdims=True)       # sum d0 dsigma
+            v = jnp.sum(t1, axis=1, keepdims=True)
             gx = a * u + b * v
             gy = b * u + c * v
-            # draw * exp(-sigma) == -dsigma / op, so dop is the 0th moment
-            dop = jnp.where(op > 0, -m5 / jnp.maximum(op, 1e-20), 0.0)
+            # draw * exp(-sigma) == -dsigma / op
+            dop = jnp.where(
+                op > 0,
+                -jnp.sum(dsigma, axis=1, keepdims=True)
+                / jnp.maximum(op, 1e-20), 0.0)
             dcol = jax.lax.dot_general(                  # [IN, C]
                 w, dout, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -4,7 +4,14 @@ Interpret-mode CPU tests miss hardware-only effects (matmul precision, OOB
 DMA clamping, early-out replay), so this compares the two production paths
 on the real TPU. Run after any kernel-math change.
 
-  python scripts/probe_parity.py            # 256k gaussians, 1024x672
+IMPORTANT: configure so NO tile overflows max_pairs_per_tile — the XLA
+compositor truncates overflow tiles to [start, start + mppt) while the
+Pallas kernel covers [align(start), align + nchunks*chunk); on overflow
+tiles they composite DIFFERENT pair sets and the comparison is meaningless
+(grads of the symmetric-difference pairs show up as huge spurious diffs).
+The defaults below are overflow-free for the probe scene.
+
+  python scripts/probe_parity.py            # 128k gaussians, 1024x672
   N=1048576 H=2048 W=1344 python scripts/probe_parity.py   # full scale
 """
 
@@ -30,11 +37,11 @@ from goliath_tpu.ops.gsplat import render  # noqa: E402
 
 
 def main():
-    n = int(os.environ.get("N", 256 * 1024))
+    n = int(os.environ.get("N", 128 * 1024))
     h = int(os.environ.get("H", 1024))
     w = int(os.environ.get("W", 672))
     ts = int(os.environ.get("TS", 32))
-    mppt = int(os.environ.get("MPPT", 1024))
+    mppt = int(os.environ.get("MPPT", 4096))
     chunk = int(os.environ.get("CHUNK", 256))
     inner = int(os.environ.get("INNER", 64))
     scene = make_scene(n, h, w)
