@@ -155,12 +155,13 @@ def bin_to_tiles(
     vals = jnp.where(in_range, p, 0).astype(jnp.int32)
 
     # stable sort groups pairs per tile in depth order (carried in the key,
-    # or inherited from pre-sorted prims); carry the originating slot so
-    # the permutation can be inverted (backward reductions walk pairs in
-    # pre-sort, prim-contiguous order)
-    keys_sorted, perm = jax.lax.sort((keys, slots), num_keys=1,
-                                     is_stable=True)
-    vals_sorted = vals[perm]
+    # or inherited from pre-sorted prims); carry BOTH the prim id and the
+    # originating slot as sort payloads — an extra payload operand costs
+    # ~0.7ms at 2M while the vals[perm] gather it replaces costs ~15ms
+    # (in-graph lax.sort is far cheaper than its standalone micro-benchmark
+    # suggests; random gathers are not)
+    keys_sorted, vals_sorted, perm = jax.lax.sort(
+        (keys, vals, slots), num_keys=1, is_stable=True)
 
     # both segment bounds from ONE searchsorted: tile_end[t] ==
     # tile_start[t+1] for integer keys (unused slots carry the sentinel
