@@ -197,13 +197,25 @@ def compute_neighbours(n_verts: int, vi: np.ndarray, n_max_values: int = 10
 
 def values_to_uv(values: jnp.ndarray, index_img: jnp.ndarray,
                  bary_img: jnp.ndarray) -> jnp.ndarray:
-    """Per-vertex values [B, V, C] -> UV map [B, C, H, W] via bary blending."""
-    mask = jnp.all(index_img != -1, axis=-1)  # [H, W]
-    idx = jnp.clip(index_img, 0, values.shape[1] - 1)  # [H, W, 3]
-    vals = values[:, idx]  # [B, H, W, 3, C]
-    blended = jnp.sum(vals * bary_img[None, ..., None], axis=-2)  # [B, H, W, C]
-    blended = blended * mask[None, ..., None]
-    return jnp.moveaxis(blended, -1, 1)
+    """Per-vertex values [B, V, C] -> UV map [B, C, H, W] via bary blending.
+
+    Gathers the three barycentric corners SEPARATELY so every tensor keeps
+    [..., H, W] as its minor dims: a fused [B, H, W, 3, C] gather leaves
+    (3, C) as the tiled dims and TPU pads each to the (8, 128) register
+    tile — a measured 42.7x memory expansion (6GB of padding per gather at
+    uv 1024) that OOMs the un-rematerialized train step."""
+    # channel-first constants fold to clean [3, H, W] layouts (a [H, W, 3]
+    # f32 constant is stored with (W, 3) tiled to (8, 128): 512MB of pad)
+    idx_cf = jnp.clip(jnp.moveaxis(index_img, -1, 0),
+                      0, values.shape[1] - 1)          # [3, H, W]
+    bary_cf = jnp.moveaxis(bary_img, -1, 0)            # [3, H, W]
+    mask = jnp.all(index_img != -1, axis=-1)           # [H, W]
+    vt = jnp.moveaxis(values, -1, 1)                   # [B, C, V]
+    blended = None
+    for k in range(3):
+        term = vt[:, :, idx_cf[k]] * bary_cf[k][None, None]
+        blended = term if blended is None else blended + term
+    return blended * mask[None, None]                  # [B, C, H, W]
 
 
 def sample_uv(
