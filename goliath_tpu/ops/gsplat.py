@@ -334,13 +334,16 @@ def reduce_sorted_pair_grads(sorted_g, perm, prim_offsets, prim_ends):
 
     The prefix sum runs as a single-pass Pallas kernel on TPU (XLA's cumsum
     at 4M x 16 costs ~250ms; the carry kernel is ~10x cheaper)."""
-    budget = sorted_g.shape[0]
-    # int-scatter + row-gather beats a [budget, F] row scatter by ~3x on
-    # this TPU (narrow-row scatters serialize much worse than gathers)
-    inv = jnp.zeros((budget,), jnp.int32).at[perm].set(
-        jnp.arange(budget, dtype=jnp.int32), mode="drop",
-        unique_indices=True)
-    presort_g = sorted_g[inv]                                       # [budget, F]
+    # Apply the inverse permutation by SORTING with the grad columns as
+    # payloads: perm is exactly the presort slot of each sorted row, so
+    # sorting by it lands rows in presort order. Measured 17.6ms at 2M vs
+    # 61.7ms for int-scatter + row-gather (and ~150ms for a row scatter) —
+    # in-graph lax.sort payload movement is far cheaper than random
+    # row-indexed memory ops on this TPU.
+    F = sorted_g.shape[1]
+    ops = tuple(sorted_g[:, i] for i in range(F))
+    out = jax.lax.sort((perm,) + ops, num_keys=1, is_stable=False)
+    presort_g = jnp.stack(out[1:], axis=1)                          # [budget, F]
     return reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
 
 
