@@ -192,15 +192,22 @@ def render_barys(
     """
     H, W = index_img.shape
     fi = jnp.clip(index_img, 0, vi.shape[0] - 1)
-    tri = v_pix[vi[fi]]  # [H, W, 3, 3]
+    # per-corner, per-coordinate gathers keep (H, W) as every tensor's
+    # minor dims — a fused v_pix[vi[fi]] [H, W, 3, 3] gather gets its tiny
+    # trailing dims tile-padded ~42x on TPU (same pathology as
+    # geom.values_to_uv; see that docstring)
+    vx = v_pix[:, 0]
+    vy = v_pix[:, 1]
+    vz = v_pix[:, 2]
+    c0 = vi[:, 0][fi]
+    c1 = vi[:, 1][fi]
+    c2 = vi[:, 2][fi]
+    x0, x1, x2 = vx[c0], vx[c1], vx[c2]          # [H, W] each
+    y0, y1, y2 = vy[c0], vy[c1], vy[c2]
     py, px = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32) + 0.5,
         jnp.arange(W, dtype=jnp.float32) + 0.5, indexing="ij",
     )
-    x = tri[..., 0]
-    y = tri[..., 1]
-    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
-    y0, y1, y2 = y[..., 0], y[..., 1], y[..., 2]
     e0 = (y1 - y2) * px + (x2 - x1) * py + (x1 * y2 - x2 * y1)
     e1 = (y2 - y0) * px + (x0 - x2) * py + (x2 * y0 - x0 * y2)
     e2 = (y0 - y1) * px + (x1 - x0) * py + (x0 * y1 - x1 * y0)
@@ -209,8 +216,9 @@ def render_barys(
     bary = jnp.stack([e0, e1, e2], axis=0) * inv_area[None]  # [3, H, W]
     mask = (index_img != -1)
     bary = bary * mask[None]
-    inv_z = 1.0 / jnp.clip(tri[..., 2], min=z_near)  # [H, W, 3]
-    izp = jnp.einsum("chw,hwc->hw", bary, inv_z)
+    izp = (bary[0] / jnp.clip(vz[c0], min=z_near)
+           + bary[1] / jnp.clip(vz[c1], min=z_near)
+           + bary[2] / jnp.clip(vz[c2], min=z_near))
     depth = jnp.where(mask, 1.0 / jnp.clip(izp, min=1e-12), 0.0)
     return depth, bary
 
@@ -221,10 +229,16 @@ def interpolate(
     index_img: jnp.ndarray,   # [H, W]
     bary_img: jnp.ndarray,    # [3, H, W]
 ) -> jnp.ndarray:
-    """[C, H, W] bary-blended attributes (zeros at empty pixels)."""
+    """[C, H, W] bary-blended attributes (zeros at empty pixels).
+
+    Per-corner channel-first gathers — a fused [H, W, 3, C] gather gets
+    its (3, C) trailing dims tile-padded ~42x on TPU."""
     fi = jnp.clip(index_img, 0, vi.shape[0] - 1)
-    attrs = vert_attrs[vi[fi]]  # [H, W, 3, C]
-    out = jnp.einsum("hwkc,khw->chw", attrs, bary_img)
+    at = jnp.moveaxis(vert_attrs, -1, 0)         # [C, V]
+    out = None
+    for k in range(3):
+        term = at[:, vi[:, k][fi]] * bary_img[k][None]   # [C, H, W]
+        out = term if out is None else out + term
     return out * (index_img != -1)[None]
 
 
