@@ -116,6 +116,8 @@ def build_urhand(img_h: int, img_w: int, uv: int, batch: int):
             "disp_enc_dims": (64,) * 6,
             "disp_scale": 3.0,
             "init_channels": 128,
+            # ablation knob for profiling, e.g. '{"shadow": false}'
+            **json.loads(os.environ.get("GOLIATH_URHAND_RELIGHT", "{}")),
         },
         global_scaling=1.0,
         shadow_size=min(uv, 512),
@@ -241,8 +243,11 @@ def main():
         (img_h, img_w, uv, max(batch // 2, 1), pal, 1500),
     ]
     if pal == "1":
-        # XLA fallback rung in case full-res pallas regresses on hardware
-        attempts.append((img_h, img_w, uv, 1, "0", 1500))
+        # XLA fallback rung in case full-res pallas regresses on hardware.
+        # Half resolution: the XLA-scan compositor's vmapped row packing
+        # materializes 128x-padded [1, budget, 1] columns at full res
+        # (20GB+); half res keeps the insurance rung compiling.
+        attempts.append((img_h // 2, img_w // 2, uv, 1, "0", 1200))
 
     deadline = time.time() + float(
         os.environ.get("GOLIATH_BENCH_DEADLINE", 3300))

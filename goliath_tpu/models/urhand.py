@@ -33,7 +33,6 @@ from goliath_tpu.nn.layers import Conv2dWN, Conv2dWNUB, leaky_relu
 from goliath_tpu.ops.rasterizer import RenderLayer
 from goliath_tpu.utils.geom import (
     GeometryModule,
-    compute_tbn_uv_given_normal,
     make_uv_vert_index,
     vert_normals,
     xyz2normals,
@@ -193,25 +192,47 @@ class ConvTeacherDecoder(nn.Module):
         gf = self.geo_fn
 
         mask = jnp.asarray(np.all(gf.index_image != -1, axis=-1))  # [S, S]
-        tri_uv = jnp.asarray(
-            gf.vt[gf.v2uv[np.clip(gf.index_image, 0, None), 0]]
-        )  # [S, S, 3, 2]
+        # UV-edge tangent weights precomputed host-side: w1/w2 [S, S] so the
+        # device-side TBN is pure channel-first [B, 3, S, S] math — the
+        # previous verts[:, index_image] gather materialized [B, S, S, 3, 3]
+        # whose (3, 3) trailing dims are tile-padded ~42x on TPU (1.6GB)
+        idx_np = np.clip(np.asarray(gf.index_image), 0, None)  # [S, S, 3]
+        tri_uv_np = np.asarray(gf.vt)[
+            np.asarray(gf.v2uv)[idx_np, 0]]  # [S, S, 3, 2]
+        vt01 = tri_uv_np[..., 1, :] - tri_uv_np[..., 0, :]
+        vt02 = tri_uv_np[..., 2, :] - tri_uv_np[..., 0, :]
+        fin = vt01[..., 0] * vt02[..., 1] - vt01[..., 1] * vt02[..., 0]
+        fin = np.where(np.abs(fin) < 1e-8, 1e-8, fin)
+        w_e1 = jnp.asarray((vt02[..., 1] / fin).astype(np.float32))
+        w_e2 = jnp.asarray((vt01[..., 1] / fin).astype(np.float32))
+        i_c = [jnp.asarray(idx_np[..., k]) for k in range(3)]
 
-        def tbn_uv(verts, normals_uv):
-            """Dense per-texel TBN from verts + per-texel normals."""
-            tri_xyz = verts[:, jnp.asarray(np.clip(gf.index_image, 0, None))]
-            t, b, n = compute_tbn_uv_given_normal(
-                tri_xyz.reshape(B, -1, 3, 3),
-                tri_uv.reshape(-1, 3, 2),
-                normals_uv.reshape(B, -1, 3),
-            )
-            rot = jnp.stack([t, -b, n], axis=-2).reshape(B, S, S, 3, 3)
-            return rot * mask[None, :, :, None, None]
+        def _norm_cf(x, eps=1e-5):
+            return x / jnp.clip(
+                jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True)), min=eps)
+
+        def _cross_cf(u, v):
+            return jnp.stack(
+                [u[:, 1] * v[:, 2] - u[:, 2] * v[:, 1],
+                 u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2],
+                 u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]], axis=1)
+
+        def tbn_uv(verts, normals_cf):
+            """Per-texel TBN, channel-first: returns (t, b, n) [B,3,S,S]."""
+            vt_cf = verts.transpose(0, 2, 1)               # [B, 3, V]
+            c0 = vt_cf[:, :, i_c[0]]                       # [B, 3, S, S]
+            tang = ((vt_cf[:, :, i_c[1]] - c0) * w_e1[None, None]
+                    - (vt_cf[:, :, i_c[2]] - c0) * w_e2[None, None])
+            tang = _norm_cf(tang)
+            n = normals_cf
+            bt = _norm_cf(_cross_cf(n, tang))
+            tang = _norm_cf(_cross_cf(bt, n))
+            m = mask[None, None]
+            return tang * m, bt * m, n * m
 
         vert_nml = vert_normals(verts_rec, jnp.asarray(gf.vi))
-        vn_uv = gf.to_uv(vert_nml).transpose(0, 2, 3, 1)  # [B, S, S, 3]
-        n0 = _normalize(vn_uv)
-        tbn_rot_uv = tbn_uv(verts_rec, n0)
+        n0 = _norm_cf(gf.to_uv(vert_nml))                  # [B, 3, S, S]
+        tbn_t, tbn_b, tbn_n = tbn_uv(verts_rec, n0)
 
         p_uv = gf.to_uv(verts_rec)  # [B, 3, S, S]
         v_uv = _normalize(cam_pos[..., None, None] - p_uv, axis=1)
@@ -232,7 +253,7 @@ class ConvTeacherDecoder(nn.Module):
             sm = jnp.exp(-sm / 8.0)
             return jax.lax.stop_gradient(sm.reshape(B, L, 1, S, S))
 
-        nml = tbn_rot_uv[..., 2, :].transpose(0, 3, 1, 2)  # [B, 3, S, S]
+        nml = tbn_n                                        # [B, 3, S, S]
         if self.shadow:
             shadow_map = shadow_pass(verts_rec, p_uv, nml)
 
@@ -289,14 +310,14 @@ class ConvTeacherDecoder(nn.Module):
             displacement = displacement * 0.0
 
         p_uv_displaced = p_uv + jax.lax.stop_gradient(nml) * displacement
-        n_disp = xyz2normals(p_uv_displaced).transpose(0, 2, 3, 1)
+        n_disp = xyz2normals(p_uv_displaced)               # [B, 3, S, S]
         verts_rec_displaced = gf.from_uv(p_uv_displaced)
-        tbn_rot_uv = tbn_uv(verts_rec_displaced, n_disp)
-        tbn_rot_uv = tbn_rot_uv.at[..., 2, :].multiply(-1.0)
+        tbn_t, tbn_b, tbn_n = tbn_uv(verts_rec_displaced, n_disp)
+        tbn_n = -tbn_n  # reference flips the normal row after displacement
 
         p_uv = p_uv_displaced
         v_uv = _normalize(cam_pos[..., None, None] - p_uv, axis=1)
-        nml = tbn_rot_uv[..., 2, :].transpose(0, 3, 1, 2)
+        nml = tbn_n
         if self.shadow:
             shadow_map = shadow_pass(
                 jax.lax.stop_gradient(verts_rec_displaced),
@@ -364,9 +385,10 @@ class ConvTeacherDecoder(nn.Module):
         outputs.update(phys_tex=phys_rgb, roughness=roughness)
 
         if self.view_cond:
-            viewout = jnp.einsum(
-                "bchw,bhwdc->bdhw", v_uv, tbn_rot_uv.transpose(0, 1, 2, 4, 3)
-            )
+            # v expressed in the TBN frame: rows of the frame are
+            # (t, -b, n), so vout = v_x*t - v_y*b + v_z*n per texel
+            viewout = (v_uv[:, 0:1] * tbn_t - v_uv[:, 1:2] * tbn_b
+                       + v_uv[:, 2:3] * tbn_n)
             viewout = interpolate_bilinear(
                 viewout, size=id_pose_feat.shape[2:])
             id_pose_feat = jnp.concatenate([id_pose_feat, viewout], axis=1)
