@@ -85,11 +85,16 @@ def rasterize(
     chunk: int = 32,
     pair_budget_mult: int = 8,
     z_near: float = 1e-4,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     pallas_inner: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Per-pixel face index image [H, W], -1 where empty (z-buffered)."""
+    """Per-pixel face index image [H, W], -1 where empty (z-buffered).
+
+    use_pallas=None auto-selects: the Pallas kernel on TPU (the XLA scan
+    z-buffer measured ~1s for a full-res pass), the XLA scan elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     ntx = -(-img_w // tile_size)
     nty = -(-img_h // tile_size)
     F = vi.shape[0]
@@ -196,14 +201,19 @@ def render_barys(
     # minor dims — a fused v_pix[vi[fi]] [H, W, 3, 3] gather gets its tiny
     # trailing dims tile-padded ~42x on TPU (same pathology as
     # geom.values_to_uv; see that docstring)
-    vx = v_pix[:, 0]
-    vy = v_pix[:, 1]
-    vz = v_pix[:, 2]
+    from goliath_tpu.ops.scatter import take_cols
+
+    vt3 = v_pix.T                                # [3, V]
     c0 = vi[:, 0][fi]
     c1 = vi[:, 1][fi]
     c2 = vi[:, 2][fi]
-    x0, x1, x2 = vx[c0], vx[c1], vx[c2]          # [H, W] each
-    y0, y1, y2 = vy[c0], vy[c1], vy[c2]
+    # take_cols routes the verts adjoint through the sort-based indexed_add
+    # (plain fancy-index bwd is a serialized TPU scatter-add over ~1M dups)
+    p0 = take_cols(vt3, c0)                      # [3, H, W]
+    p1 = take_cols(vt3, c1)
+    p2 = take_cols(vt3, c2)
+    x0, x1, x2 = p0[0], p1[0], p2[0]             # [H, W] each
+    y0, y1, y2 = p0[1], p1[1], p2[1]
     py, px = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32) + 0.5,
         jnp.arange(W, dtype=jnp.float32) + 0.5, indexing="ij",
@@ -216,9 +226,9 @@ def render_barys(
     bary = jnp.stack([e0, e1, e2], axis=0) * inv_area[None]  # [3, H, W]
     mask = (index_img != -1)
     bary = bary * mask[None]
-    izp = (bary[0] / jnp.clip(vz[c0], min=z_near)
-           + bary[1] / jnp.clip(vz[c1], min=z_near)
-           + bary[2] / jnp.clip(vz[c2], min=z_near))
+    izp = (bary[0] / jnp.clip(p0[2], min=z_near)
+           + bary[1] / jnp.clip(p1[2], min=z_near)
+           + bary[2] / jnp.clip(p2[2], min=z_near))
     depth = jnp.where(mask, 1.0 / jnp.clip(izp, min=1e-12), 0.0)
     return depth, bary
 
@@ -232,12 +242,15 @@ def interpolate(
     """[C, H, W] bary-blended attributes (zeros at empty pixels).
 
     Per-corner channel-first gathers — a fused [H, W, 3, C] gather gets
-    its (3, C) trailing dims tile-padded ~42x on TPU."""
+    its (3, C) trailing dims tile-padded ~42x on TPU. take_cols gives the
+    attrs adjoint the sort-based indexed_add instead of a scatter-add."""
+    from goliath_tpu.ops.scatter import take_cols
+
     fi = jnp.clip(index_img, 0, vi.shape[0] - 1)
     at = jnp.moveaxis(vert_attrs, -1, 0)         # [C, V]
     out = None
     for k in range(3):
-        term = at[:, vi[:, k][fi]] * bary_img[k][None]   # [C, H, W]
+        term = take_cols(at, vi[:, k][fi]) * bary_img[k][None]   # [C, H, W]
         out = term if out is None else out + term
     return out * (index_img != -1)[None]
 

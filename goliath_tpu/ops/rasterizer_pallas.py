@@ -110,6 +110,12 @@ def rasterize_zbuffer_pallas(
     P = tile_size * tile_size
     nchunks = max_faces_per_tile // chunk + 1  # +1 for the alignment shift
 
+    # the op is non-differentiable (returns indices; drtk semantics) but
+    # pallas_call has no JVP rule — cut tangents BEFORE the kernel so
+    # jax.grad through callers skips it entirely
+    an, bn, cn, inv_area_abs, inv_z, valid = map(
+        lax.stop_gradient, (an, bn, cn, inv_area_abs, inv_z, valid))
+
     gi = jnp.clip(sorted_prim, 0, F - 1)
     # invalid faces get inv_area 0 -> izp 0 -> zp BIG (never wins)
     ia = (inv_area_abs * valid)[gi][:, None]

@@ -74,11 +74,19 @@ def grid_sample(
 
 
 def _gather2d(image: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
-    """image [B, C, H, W], iy/ix [B, ...spatial] -> [B, C, ...spatial]."""
+    """image [B, C, H, W], iy/ix [B, ...spatial] -> [B, C, ...spatial].
+
+    Routed through take_cols so the backward (splatting cotangents into the
+    image) is the sort-based indexed_add instead of a TPU scatter-add
+    (~370ms for a 2M-point texture-gather adjoint)."""
+    import jax
+
+    from goliath_tpu.ops.scatter import take_cols
+
     B, C, H, W = image.shape
     flat = image.reshape(B, C, H * W)
     idx = (iy * W + ix).reshape(B, -1)  # [B, P]
-    g = jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # [B, C, P]
+    g = jax.vmap(take_cols)(flat, idx)  # [B, C, P]
     return g.reshape((B, C) + iy.shape[1:])
 
 

@@ -122,3 +122,21 @@ def test_rasterize_pallas_matches_xla():
     assert ((out_xla == -1) == (out_pl == -1)).all()
     covered = out_xla != -1
     assert (out_xla[covered] == out_pl[covered]).mean() > 0.999
+
+
+def test_zbuffer_pallas_matches_xla_scan():
+    """The Pallas z-buffer (the TPU-default path) against the XLA scan on
+    identical inputs, interpret mode on CPU."""
+    H, W = 48, 64
+    v, vi, vt, vti, K, Rt, v_pix = _scene(H, W)
+    xla_img = ras.rasterize(v_pix, jnp.asarray(vi), H, W,
+                            max_faces_per_tile=128, chunk=16,
+                            use_pallas=False)
+    pl_img = ras.rasterize(v_pix, jnp.asarray(vi), H, W,
+                           max_faces_per_tile=128, chunk=16,
+                           use_pallas=True, pallas_inner=16, interpret=True)
+    a, b = np.asarray(xla_img), np.asarray(pl_img)
+    assert ((a == -1) == (b == -1)).mean() > 0.999
+    covered = (a != -1) & (b != -1)
+    assert covered.mean() > 0.1
+    assert (a[covered] == b[covered]).mean() > 0.995
