@@ -26,9 +26,17 @@ def indexed_add(indices: jnp.ndarray, values: jnp.ndarray,
     """sum values[i] into out[indices[i]]: [P] int32, [P, C] -> [N, C].
 
     Equivalent to zeros((N, C)).at[indices].add(values) (out-of-range
-    indices are dropped), but sort-based on TPU."""
+    indices are dropped), but sort-based on TPU WHEN the duplicate density
+    is low. Measured (v5e, 2.75M updates): into 1M texels the native
+    scatter-add costs ~370ms vs ~90ms sorted; into 7k vertices (~140x
+    duplicates) the native scatter is cheap and the sort-based path LOSES
+    ~100ms — dup-dense scatters apparently batch well on TPU. Heuristic:
+    sorted path only when each target receives < ~8 updates on average."""
     P, C = values.shape
-    if jax.default_backend() != "tpu" and not _force_sorted:
+    use_sorted = (_force_sorted
+                  or (jax.default_backend() == "tpu"
+                      and num_segments * 8 >= P))
+    if not use_sorted:
         ok = (indices >= 0) & (indices < num_segments)
         idx = jnp.where(ok, indices, 0)
         vals = jnp.where(ok[:, None], values, 0.0)
