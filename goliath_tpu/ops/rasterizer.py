@@ -201,17 +201,14 @@ def render_barys(
     # minor dims — a fused v_pix[vi[fi]] [H, W, 3, 3] gather gets its tiny
     # trailing dims tile-padded ~42x on TPU (same pathology as
     # geom.values_to_uv; see that docstring)
-    from goliath_tpu.ops.scatter import take_cols
-
     vt3 = v_pix.T                                # [3, V]
     c0 = vi[:, 0][fi]
     c1 = vi[:, 1][fi]
     c2 = vi[:, 2][fi]
-    # take_cols routes the verts adjoint through the sort-based indexed_add
-    # (plain fancy-index bwd is a serialized TPU scatter-add over ~1M dups)
-    p0 = take_cols(vt3, c0)                      # [3, H, W]
-    p1 = take_cols(vt3, c1)
-    p2 = take_cols(vt3, c2)
+    # plain indexing: verts adjoints are dup-dense (native scatter wins)
+    p0 = vt3[:, c0]                              # [3, H, W]
+    p1 = vt3[:, c1]
+    p2 = vt3[:, c2]
     x0, x1, x2 = p0[0], p1[0], p2[0]             # [H, W] each
     y0, y1, y2 = p0[1], p1[1], p2[1]
     py, px = jnp.meshgrid(
@@ -242,15 +239,12 @@ def interpolate(
     """[C, H, W] bary-blended attributes (zeros at empty pixels).
 
     Per-corner channel-first gathers — a fused [H, W, 3, C] gather gets
-    its (3, C) trailing dims tile-padded ~42x on TPU. take_cols gives the
-    attrs adjoint the sort-based indexed_add instead of a scatter-add."""
-    from goliath_tpu.ops.scatter import take_cols
-
+    its (3, C) trailing dims tile-padded ~42x on TPU."""
     fi = jnp.clip(index_img, 0, vi.shape[0] - 1)
     at = jnp.moveaxis(vert_attrs, -1, 0)         # [C, V]
     out = None
     for k in range(3):
-        term = take_cols(at, vi[:, k][fi]) * bary_img[k][None]   # [C, H, W]
+        term = at[:, vi[:, k][fi]] * bary_img[k][None]   # [C, H, W]
         out = term if out is None else out + term
     return out * (index_img != -1)[None]
 

@@ -207,8 +207,6 @@ def values_to_uv(values: jnp.ndarray, index_img: jnp.ndarray,
     uv 1024) that OOMs the un-rematerialized train step."""
     # channel-first constants fold to clean [3, H, W] layouts (a [H, W, 3]
     # f32 constant is stored with (W, 3) tiled to (8, 128): 512MB of pad)
-    from goliath_tpu.ops.scatter import take_cols
-
     idx_cf = jnp.clip(jnp.moveaxis(index_img, -1, 0),
                       0, values.shape[1] - 1)          # [3, H, W]
     bary_cf = jnp.moveaxis(bary_img, -1, 0)            # [3, H, W]
@@ -216,10 +214,9 @@ def values_to_uv(values: jnp.ndarray, index_img: jnp.ndarray,
     vt = jnp.moveaxis(values, -1, 1)                   # [B, C, V]
     blended = None
     for k in range(3):
-        # take_cols: the adjoint (splat texel grads onto vertices) runs
-        # through the sort-based indexed_add, not a serialized scatter-add
-        term = (jax.vmap(take_cols, in_axes=(0, None))(vt, idx_cf[k])
-                * bary_cf[k][None, None])
+        # plain indexing: the adjoint targets only V vertices (dup-dense),
+        # where the native scatter-add is the fast path (see ops/scatter.py)
+        term = vt[:, :, idx_cf[k]] * bary_cf[k][None, None]
         blended = term if blended is None else blended + term
     return blended * mask[None, None]                  # [B, C, H, W]
 
