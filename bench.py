@@ -142,13 +142,79 @@ def build_urhand(img_h: int, img_w: int, uv: int, batch: int):
     return model, loss_fn, optimizer, params, opt_state, jb
 
 
+def build_mesh_vae(img_h: int, img_w: int, uv: int, batch: int):
+    """mesh_vae at reference scale (configs/mesh_vae.yml: uv 1024,
+    tex/shadow 2048, 2048x1334, batch 4, 800k iters / 7 days)."""
+    import jax
+    import jax.numpy as jnp
+
+    import goliath_tpu
+
+    goliath_tpu.enable_compilation_cache()
+
+    from goliath_tpu.data.synthetic import SyntheticDataset
+    from goliath_tpu.losses import ModularLoss
+    from goliath_tpu.models.mesh_vae import AutoEncoder
+    from goliath_tpu.optim import build_optimizer
+
+    ds = SyntheticDataset(
+        n_cams=2, n_frames=max(batch, 2), img_h=img_h, img_w=img_w,
+        uv_size=uv, seed=0,
+    )
+    n_pose = int(ds.static_assets["n_pose_dims"]) \
+        if "n_pose_dims" in ds.static_assets else None
+    dec = {
+        "init_uv_size": 64, "n_init_channels": 64, "n_min_channels": 4,
+        "n_pose_enc_channels": 16, "n_embs": 1024,
+        "n_embs_enc_channels": 32, "n_face_embs": 256, "uv_size": uv,
+    }
+    if n_pose is not None:
+        dec["n_pose_dims"] = n_pose
+    model = AutoEncoder(
+        encoder={"n_embs": 1024},
+        encoder_face={"n_embs": 256},
+        decoder=dec,
+        decoder_view={"net_uv_size": uv},
+        upscale_net={"n_ftrs": 4},
+        shadow_net={"uv_size": 2 * uv, "shadow_size": 256, "n_dims": 4},
+        renderer={"image_height": img_h, "image_width": img_w},
+        cal={"identity_camera": ds.static_assets.camera_ids[0]},
+        pixel_cal={"image_height": img_h, "image_width": img_w,
+                   "ds_rate": 8},
+        learn_blur=True,
+        assets=ds.static_assets,
+        uv_size=uv,
+        tex_size=2 * uv,
+    )
+    loss_fn = ModularLoss(
+        {
+            "rgb_l1": {"src_key": "rgb", "tgt_key": "image",
+                       "mask_key": "image_weight", "weight": 10.0},
+            "rgb_ssim": {"src_key": "rgb", "tgt_key": "image",
+                         "mask_key": "image_weight", "weight": 0.2},
+            "geom_l2": 0.4,
+            "kl": 0.002,
+        },
+        assets=ds.static_assets,
+    )
+    batch_np = next(ds.batches(batch, 1))
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()
+          if not isinstance(v, (list, str))}
+    params = model.init(jax.random.PRNGKey(0), jb)
+    optimizer = build_optimizer(
+        {"class_name": "torch.optim.Adam", "lr": 1e-3}, params
+    )
+    opt_state = optimizer.init(params)
+    return model, loss_fn, optimizer, params, opt_state, jb
+
+
 def run(img_h, img_w, uv, batch, n_steps):
     import jax
     import jax.numpy as jnp
     import optax
 
-    builder = build_urhand \
-        if os.environ.get("GOLIATH_BENCH_MODEL") == "urhand" else build
+    builder = {"urhand": build_urhand, "mesh_vae": build_mesh_vae}.get(
+        os.environ.get("GOLIATH_BENCH_MODEL", ""), build)
     model, loss_fn, optimizer, params, opt_state, jb = builder(
         img_h, img_w, uv, batch
     )
@@ -184,6 +250,20 @@ def run(img_h, img_w, uv, batch, n_steps):
 
 def run_single(h, w, u, b, n_steps):
     step_s, compile_s, loss = run(h, w, u, b, n_steps)
+    if os.environ.get("GOLIATH_BENCH_MODEL") == "mesh_vae":
+        # mesh_vae reference: batch 4, 800k iters / 7 days = 1.32 steps/s
+        work_ratio = (b / 4.0) * ((h * w) / (2048 * 1334)) \
+            * ((u * u) / (1024 * 1024))
+        eff = (1.0 / step_s) * work_ratio
+        print(json.dumps({
+            "metric": "mesh_vae_train_step_time",
+            "value": round(step_s, 4),
+            "unit": f"s/step (batch={b}, {h}x{w}, uv={u}; "
+                    f"compile={compile_s:.1f}s, "
+                    f"workload-normalized {eff:.3f} ref-steps/s)",
+            "vs_baseline": round(eff / BASELINE_STEPS_PER_SEC, 3),
+        }))
+        return
     if os.environ.get("GOLIATH_BENCH_MODEL") == "urhand":
         # urhand reference: batch 1, 400k iters / 7 days = 0.661 steps/s
         work_ratio = (b / 1.0) * ((h * w) / (2048 * 1334)) \
