@@ -231,3 +231,30 @@ def test_depth2normals_plane():
     inner = np.asarray(n)[0, :, 4:-4, 4:-4]
     # flat depth plane -> normal points along -z
     assert np.abs(inner[2] + 1.0).max() < 1e-4
+
+
+def test_seam_sampler_sparse_matches_dense():
+    """SeamSampler.resample (sparse nonzero-weight formulation) vs the
+    dense full-map grid_sample blend."""
+    import numpy as np
+
+    from goliath_tpu.utils import seams as sm
+
+    rng = np.random.RandomState(0)
+    H = 16
+    uvs = rng.rand(H, H, 2).astype(np.float32)
+    weights = np.zeros((1, H, H), np.float32)
+    band = rng.rand(H, H) < 0.15
+    weights[0, band] = rng.rand(band.sum()).astype(np.float32)
+    data = {
+        "dst_ij": np.zeros((1, 2), np.int64),
+        "src_ij": np.zeros((1, 2), np.int64),
+        "uvs": uvs,
+        "weights": weights,
+    }
+    s = sm.SeamSampler(data)
+    tex = jnp.asarray(rng.randn(2, 3, H, H).astype(np.float32))
+    got = np.asarray(s.resample(tex))
+    ref = np.asarray(sm.resample_tex(tex, jnp.asarray(uvs),
+                                     jnp.asarray(weights)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
