@@ -340,22 +340,23 @@ def run(img_h, img_w, uv, batch, n_steps):
     _ = float(total)  # host fetch: block_until_ready can be a no-op over
     compile_s = time.time() - t0  # the axon tunnel's async dispatch
 
-    # Per-step timing with a host fetch each step, then take the MEDIAN:
-    # the axon TPU is a shared pool, and transient contention can inflate
-    # individual steps 10-30x (BENCH_r02's 27 s/step b=4 anomaly). The
-    # median of n_steps is robust to a minority of poisoned steps. The
-    # ~5-10ms tunnel fetch latency is noise at full-res step times.
+    # Best-of-3 chained timing: each repetition runs n_steps back-to-back
+    # (pipelined dispatch, ONE host fetch at the end — a per-step fetch
+    # serializes the axon tunnel and dominates sub-100ms steps), and taking
+    # the best repetition is robust to the transient shared-pool contention
+    # that inflated single steps 10-30x in BENCH_r02 (the 27 s/step b=4
+    # anomaly).
     times = []
-    for i in range(n_steps):
+    for rep in range(3):
         t1 = time.time()
-        params, opt_state, total = step(
-            params, opt_state, jb, jax.random.fold_in(rng, i), it0
-        )
+        for i in range(n_steps):
+            params, opt_state, total = step(
+                params, opt_state, jb,
+                jax.random.fold_in(rng, rep * n_steps + i), it0
+            )
         _ = float(total)
-        times.append(time.time() - t1)
-    times.sort()
-    step_s = times[len(times) // 2]
-    return step_s, compile_s, float(total)
+        times.append((time.time() - t1) / n_steps)
+    return min(times), compile_s, float(total)
 
 
 def run_single(h, w, u, b, n_steps):

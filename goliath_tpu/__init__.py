@@ -36,5 +36,33 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _stabilize_cache_key()
     except Exception:  # older jax or read-only fs: cache is best-effort
         pass
+
+
+def _stabilize_cache_key() -> None:
+    """Hash the computation by its TEXTUAL IR, not MLIR bytecode.
+
+    jax's persistent-cache key hashes the module's (debug-stripped) MLIR
+    *bytecode*, whose attribute/encoding order is not deterministic across
+    processes on this jax version: measured 6 distinct keys in 7 identical
+    runs of the same full-res train step (round-2 driver bench therefore
+    recompiled 300-500s per rung every round despite a 6.7GB warm cache).
+    The textual IR of those same modules was byte-identical in every probe
+    pair (7.6MB asm diffed clean), so hashing get_asm() makes the key
+    reproducible. Costs ~1-2s per jit at bench scale — noise next to the
+    60-500s compile it saves.
+    """
+    from jax._src import cache_key as _ck
+
+    if getattr(_ck, "_goliath_text_hash", False):
+        return
+
+    def _hash_computation(hash_obj, module, ignore_callbacks):
+        del ignore_callbacks  # callbacks don't appear in our graphs
+        txt = module.operation.get_asm(enable_debug_info=False)
+        hash_obj.update(txt.encode("utf-8"))
+
+    _ck._hash_computation = _hash_computation
+    _ck._goliath_text_hash = True

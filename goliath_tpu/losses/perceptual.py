@@ -6,10 +6,14 @@ EfficientNet-B0-style 3-stage feature loss (weights [.8, .1, .1]).
 The reference downloads ImageNet weights via torchvision; this environment
 has no torchvision and no egress, so feature weights are loaded from an
 `.npz` pointed to by GOLIATH_TPU_VGG19_NPZ / GOLIATH_TPU_EFFNET_NPZ (numpy
-arrays keyed conv{i}_w / conv{i}_b in torch OIHW layout) when available, and
-otherwise fall back to a fixed-seed random init — random convolutional
-features are a serviceable perceptual prior, and the seed is fixed so the
-loss is deterministic. A warning is logged on fallback.
+arrays keyed conv{i}_w / conv{i}_b in torch OIHW layout) when available.
+When the weights are ABSENT the loss refuses to run unless random features
+are explicitly allowed (GOLIATH_TPU_ALLOW_RANDOM_FEATURES=1 or loss config
+`allow_random_features: true`): fixed-seed random convolutional features
+are a serviceable perceptual prior for smoke tests and benches, but they
+silently diverge from the reference's ImageNet-pretrained features at
+train quality — a run that "converges" on them will not match reference
+PSNR (round-2 verdict item 8), so opting in must be loud and deliberate.
 
 TPU notes: feature extraction is plain NCHW convs that XLA tiles onto the
 MXU; inputs are normalized from [0, 255] like the reference.
@@ -32,6 +36,22 @@ from goliath_tpu.utils.image import erode
 from goliath_tpu.utils.sampling import interpolate_bilinear
 
 logger = logging.getLogger(__name__)
+
+
+def _require_random_ok(net: str, env_var: str) -> None:
+    """Hard-fail on missing pretrained weights unless explicitly waived."""
+    if os.environ.get("GOLIATH_TPU_ALLOW_RANDOM_FEATURES") == "1":
+        logger.warning(
+            "%s pretrained weights unavailable (set %s); using fixed-seed "
+            "RANDOM features — training quality will NOT match the "
+            "reference.", net, env_var)
+        return
+    raise RuntimeError(
+        f"{net} pretrained weights not found (set {env_var} to an .npz "
+        "exported by scripts/export_perceptual_npz.py). Training against "
+        "random features silently diverges from reference quality; to "
+        "accept that for a smoke run, set GOLIATH_TPU_ALLOW_RANDOM_"
+        "FEATURES=1 or `allow_random_features: true` in the loss config.")
 
 _IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
@@ -69,10 +89,7 @@ def _vgg19_weights():
               for i in range(len(_VGG19_CONVS))]
         logger.info(f"loaded VGG19 weights from {path}")
         return ws
-    logger.warning(
-        "VGG19 pretrained weights unavailable (set GOLIATH_TPU_VGG19_NPZ); "
-        "using fixed-seed random features."
-    )
+    _require_random_ok("VGG19", "GOLIATH_TPU_VGG19_NPZ")
     key = jax.random.PRNGKey(1234)
     ws = []
     cin = 3
@@ -187,10 +204,7 @@ def _effnet_weights():
         data = np.load(path)
         logger.info(f"loaded EfficientNet-B0 weights from {path}")
         return {k: jnp.asarray(data[k]) for k in data.files}
-    logger.warning(
-        "EfficientNet weights unavailable (set GOLIATH_TPU_EFFNET_NPZ); "
-        "using fixed-seed random features with the faithful B0 structure."
-    )
+    _require_random_ok("EfficientNet-B0", "GOLIATH_TPU_EFFNET_NPZ")
     key = jax.random.PRNGKey(4321)
     ws = {}
 
@@ -273,10 +287,15 @@ class EfficientNetLoss:
 
 class BasePerceptualLoss:
     def __init__(self, assets, net, src_key="rendered_rgb", tgt_key="image",
-                 dst_key=None, mask_key="image_mask", mask_erode=None):
+                 dst_key=None, mask_key="image_mask", mask_erode=None,
+                 allow_random_features=False):
         self.src_key, self.tgt_key, self.dst_key = src_key, tgt_key, dst_key
         self.mask_key, self.mask_erode = mask_key, mask_erode
         self.net = net
+        if allow_random_features:
+            # explicit per-config opt-in to the fixed-seed random-feature
+            # fallback (see _require_random_ok)
+            os.environ["GOLIATH_TPU_ALLOW_RANDOM_FEATURES"] = "1"
 
     def __call__(self, preds, targets):
         fg_mask = (targets[self.mask_key] if self.mask_key in targets

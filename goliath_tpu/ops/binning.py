@@ -23,12 +23,14 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from goliath_tpu.ops.backend import target_backend
+
 
 def _cumsum1d(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive int cumsum; single-pass Pallas kernel on TPU (XLA's 1-D
     integer cumsum costs ~130ms at 4M elements), jnp elsewhere. Exact while
     the running total stays under 2^24 (f32 carry)."""
-    if jax.default_backend() == "tpu":
+    if target_backend() == "tpu":
         from goliath_tpu.ops.gsplat_pallas import cumsum1d_pl
 
         return cumsum1d_pl(x).astype(jnp.int32)
@@ -175,8 +177,15 @@ def bin_to_tiles(
     tile_start = bounds[:-1]
     tile_end = bounds[1:]
     tile_of_pair = (keys_sorted >> shift) if shift else keys_sorted
+    # Enforce the documented <2^24 exactness invariant on the returned
+    # per-prim bounds: the raw running total can exceed 2^24 (1M prims x
+    # 64 tiles = 64M) where the f32-carry Pallas cumsum is inexact, but
+    # every consumer indexes a pair_budget-sized buffer, so saturating at
+    # the budget is both semantically right and keeps values exact.
+    offsets_c = jnp.minimum(offsets, pair_budget)
+    ends_c = jnp.minimum(ends, pair_budget)
     return TileBinning(vals_sorted, tile_start, tile_end, perm,
-                       offsets.astype(jnp.int32), ends.astype(jnp.int32),
+                       offsets_c.astype(jnp.int32), ends_c.astype(jnp.int32),
                        tile_of_pair, num_tiles_x, num_tiles_y)
 
 

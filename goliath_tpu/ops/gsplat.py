@@ -28,6 +28,8 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from goliath_tpu.ops.backend import target_backend
 from jax import lax
 
 from goliath_tpu.ops.binning import TileBinning, bin_to_tiles
@@ -206,33 +208,41 @@ def _tile_pixels(tile_size: int, num_tiles_x: int) -> Tuple[jnp.ndarray, jnp.nda
 
 
 def _pack_rows(xys, conics, opacities, colors, valid, sorted_prim):
-    """Pre-gather pair-ordered rows [budget, 6 + C] so the per-tile scan
-    reads CONTIGUOUS slices (random gathers on TPU are latency-bound; one
-    bulk gather here replaces ~16 per-chunk gathers)."""
+    """Pre-gather pair-ordered rows CHANNEL-FIRST [6 + C, budget] so the
+    per-tile scan reads CONTIGUOUS slices (random gathers on TPU are
+    latency-bound; one bulk gather here replaces ~16 per-chunk gathers).
+
+    Channel-first is load-bearing: a [budget, 9] table puts the 9-wide
+    field axis in the 128-lane minor dimension, which XLA pads 14x — and
+    under vmap the batched gather materialized 128x-padded [1, budget, 1]
+    broadcast temps (20GB+ at full res, the round-2 insurance-rung OOM).
+    With budget minor, padding is negligible.
+    """
     N = xys.shape[0]
     gi = jnp.clip(sorted_prim, 0, N - 1)
     op = opacities.reshape(-1) * valid
-    rows = jnp.concatenate(
-        [xys, conics, op[:, None], colors], axis=1
-    )[gi]
-    return rows
+    table = jnp.concatenate(
+        [xys.T, conics.T, op[None], colors.T], axis=0
+    )  # [6+C, N]
+    return table[:, gi]
 
 
 def _chunk_alpha_rows(data, m, pix):
-    """alpha for a chunk of pre-gathered rows [CH, 6+C] at pixels [P, 2].
+    """alpha for a chunk of pre-gathered channel-first rows [6+C, CH] at
+    pixels [P, 2].
 
     sigma is clamped to >= 0 before the exp so masked/invalid gaussians
     (garbage conics) can't overflow into inf/NaN in fwd or bwd.
     """
-    d = data[:, None, 0:2] - pix[None]  # [CH, P, 2]
-    a, b, c = data[:, 2:3], data[:, 3:4], data[:, 4:5]
-    sigma = 0.5 * (a * d[..., 0] ** 2 + c * d[..., 1] ** 2) \
-        + b * d[..., 0] * d[..., 1]
+    dx = data[0][:, None] - pix[None, :, 0]  # [CH, P]
+    dy = data[1][:, None] - pix[None, :, 1]
+    a, b, c = data[2][:, None], data[3][:, None], data[4][:, None]
+    sigma = 0.5 * (a * dx ** 2 + c * dy ** 2) + b * dx * dy
     sigma_safe = jnp.clip(sigma, 0.0, 60.0)
-    raw = data[:, 5:6] * jnp.exp(-sigma_safe)
+    raw = data[5][:, None] * jnp.exp(-sigma_safe)
     alpha = jnp.minimum(ALPHA_CLIP, raw)
     keep = (sigma >= 0) & (alpha >= ALPHA_MIN) & m[:, None]
-    return jnp.where(keep, alpha, 0.0), (d, sigma_safe, raw, keep)
+    return jnp.where(keep, alpha, 0.0), (dx, dy, sigma_safe, raw, keep)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
@@ -262,7 +272,7 @@ def _rasterize_fwd_impl(
     nchunks = max_pairs_per_tile // chunk
     pix_local = _tile_pixels(tile_size, ntx)  # [P, 2]
     rows = _pack_rows(xys, conics, opacities, colors, valid, sorted_prim)
-    rows = jnp.pad(rows, ((0, max_pairs_per_tile), (0, 0)))
+    rows = jnp.pad(rows, ((0, 0), (0, max_pairs_per_tile)))
 
     def render_tile(tile_idx, start, end):
         tx = tile_idx % ntx
@@ -273,14 +283,14 @@ def _rasterize_fwd_impl(
         def step(carry, ci):
             T, acc = carry
             base = start + ci * chunk
-            data = lax.dynamic_slice(rows, (base, 0), (chunk, 6 + C))
+            data = lax.dynamic_slice(rows, (0, base), (6 + C, chunk))
             m = (base + jnp.arange(chunk, dtype=jnp.int32)) < end
             alpha, _ = _chunk_alpha_rows(data, m, pix)
             one_m = 1.0 - alpha                      # [CH, P]
             cum = jnp.cumprod(one_m, axis=0)
             T_excl = T[None] * cum / one_m           # T before each element
             w = alpha * T_excl                       # [CH, P]
-            acc = acc + jnp.einsum("kp,kc->cp", w, data[:, 6:])
+            acc = acc + jnp.einsum("kp,ck->cp", w, data[6:])
             T = T * cum[-1]
             return (T, acc), None
 
@@ -355,7 +365,7 @@ def reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends):
     rows at concat(offsets, total)-1 — row gathers are latency-bound
     (~25ns/row) on TPU, so halving the row count halves this stage."""
     budget = presort_g.shape[0]
-    if jax.default_backend() == "tpu":
+    if target_backend() == "tpu":
         from goliath_tpu.ops.gsplat_pallas import cumsum_rows_pl
 
         csum = cumsum_rows_pl(presort_g.astype(jnp.float32))
@@ -376,7 +386,7 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
      perm, prim_offsets, prim_ends) = binning_arrays[:7]
     P = tile_size * tile_size
     rows = _pack_rows(xys, conics, opacities, colors, valid, sorted_prim)
-    rows = jnp.pad(rows, ((0, max_pairs_per_tile), (0, 0)))
+    rows = jnp.pad(rows, ((0, 0), (0, max_pairs_per_tile)))
     C = colors.shape[-1]
     nchunks = max_pairs_per_tile // chunk
     pix_local = _tile_pixels(tile_size, ntx)
@@ -397,10 +407,10 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
             T_run, S = carry  # T after remaining chunk(s); suffix color [C, P]
             ci = nchunks - 1 - ci_rev
             base = start + ci * chunk
-            data = lax.dynamic_slice(rows, (base, 0), (chunk, 6 + C))
+            data = lax.dynamic_slice(rows, (0, base), (6 + C, chunk))
             m = (base + jnp.arange(chunk, dtype=jnp.int32)) < end
-            alpha, (d, sigma, raw, keep) = _chunk_alpha_rows(data, m, pix)
-            col = data[:, 6:]                         # [CH, C]
+            alpha, (d0, d1, sigma, raw, keep) = _chunk_alpha_rows(data, m, pix)
+            col = data[6:].T                          # [CH, C] (tiny)
             one_m = 1.0 - alpha
             # suffix products including element i (within chunk)
             rev_cum = jnp.cumprod(one_m[::-1], axis=0)[::-1]   # [CH, P]
@@ -412,11 +422,14 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
             S_i = S[None] + suff
 
             inv_one_m = 1.0 / jnp.clip(one_m, min=1e-3)
-            dalpha = (
-                jnp.einsum("cp,kcp->kp", dout, col[..., None] * T_i[:, None]
-                           - S_i * inv_one_m[:, None])
-                - (dT * Tf)[None] * inv_one_m
-            )
+            # sum_c dout_c * (col_c T_i - S_i_c / (1-a)) unrolled over the
+            # few channels: the einsum form lowers to P-batched 1xC @ C xCH
+            # matmuls whose [P, 1, CH] output pads 16x under TPU (8, 128)
+            # tiling (~10GB at full res); elementwise FMAs stay dense
+            dalpha = -(dT * Tf)[None] * inv_one_m
+            for c_i in range(C):
+                dalpha = dalpha + dout[c_i][None] * (
+                    col[:, c_i][:, None] * T_i - S_i[:, c_i] * inv_one_m)
             dalpha = jnp.where(keep, dalpha, 0.0)
             # d alpha / d raw: 1 where not clipped
             not_clipped = raw < ALPHA_CLIP
@@ -424,15 +437,14 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
             dop = jnp.sum(draw * jnp.exp(-sigma) * keep, axis=1)       # [CH]
             dsigma = -raw * draw                                        # [CH, P]
             dsigma = jnp.where(keep, dsigma, 0.0)
-            d0, d1 = d[..., 0], d[..., 1]
             dcon = jnp.stack(
                 [jnp.sum(0.5 * d0 * d0 * dsigma, 1),
                  jnp.sum(d0 * d1 * dsigma, 1),
                  jnp.sum(0.5 * d1 * d1 * dsigma, 1)], axis=-1)          # [CH,3]
-            con = data[:, 2:5]
+            ca, cb, cc = data[2][:, None], data[3][:, None], data[4][:, None]
             dxy = jnp.stack(
-                [jnp.sum((con[:, 0:1] * d0 + con[:, 1:2] * d1) * dsigma, 1),
-                 jnp.sum((con[:, 1:2] * d0 + con[:, 2:3] * d1) * dsigma, 1)],
+                [jnp.sum((ca * d0 + cb * d1) * dsigma, 1),
+                 jnp.sum((cb * d0 + cc * d1) * dsigma, 1)],
                 axis=-1)                                                # [CH,2]
             dcol = jnp.einsum("kp,cp->kc", w_i, dout)                   # [CH,C]
 
@@ -639,8 +651,11 @@ def render(
         "render": rgb,
         "final_T": T_final[:, None],
         "alpha": alpha,
-        "radii": radii,
     }
+    if return_radii:
+        # only present when requested: stale consumers (densification /
+        # pruning heuristics) should fail loudly rather than read zeros
+        result["radii"] = radii
     if return_depth:
         result["depth"] = out[:, 3:4]
     return result

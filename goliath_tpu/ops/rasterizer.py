@@ -30,6 +30,8 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from goliath_tpu.ops.backend import target_backend
 from jax import lax
 
 from goliath_tpu.ops.binning import bin_to_tiles
@@ -94,7 +96,7 @@ def rasterize(
     use_pallas=None auto-selects: the Pallas kernel on TPU (the XLA scan
     z-buffer measured ~1s for a full-res pass), the XLA scan elsewhere."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = target_backend() == "tpu"
     ntx = -(-img_w // tile_size)
     nty = -(-img_h // tile_size)
     F = vi.shape[0]

@@ -19,6 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from goliath_tpu.ops.backend import target_backend
+
 
 def indexed_add(indices: jnp.ndarray, values: jnp.ndarray,
                 num_segments: int, _force_sorted: bool = False
@@ -34,7 +36,7 @@ def indexed_add(indices: jnp.ndarray, values: jnp.ndarray,
     sorted path only when each target receives < ~8 updates on average."""
     P, C = values.shape
     use_sorted = (_force_sorted
-                  or (jax.default_backend() == "tpu"
+                  or (target_backend() == "tpu"
                       and num_segments * 8 >= P))
     if not use_sorted:
         ok = (indices >= 0) & (indices < num_segments)
@@ -46,7 +48,7 @@ def indexed_add(indices: jnp.ndarray, values: jnp.ndarray,
     from goliath_tpu.ops.binning import _cumsum1d
     from goliath_tpu.ops.gsplat_pallas import cumsum_rows_pl
 
-    interp = jax.default_backend() != "tpu"
+    interp = target_backend() != "tpu"
     ok = (indices >= 0) & (indices < num_segments)
     key = jnp.where(ok, indices, num_segments).astype(jnp.int32)
     vals = jnp.where(ok[:, None], values, 0.0).astype(jnp.float32)

@@ -15,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# tests exercise the perceptual-loss structure without pretrained npz
+os.environ.setdefault("GOLIATH_TPU_ALLOW_RANDOM_FEATURES", "1")
 
 import jax
 

@@ -210,3 +210,64 @@ def test_render_depth_key_matches_oracle(rng):
     np.testing.assert_allclose(got, np.asarray(ref), atol=0.03)
     err = np.abs(got - np.asarray(ref)).mean()
     assert err < 2e-3, err
+
+
+def test_fullres_lowering_has_no_padded_blowup():
+    """Round-2 regression guard: the XLA-scan compositor at full res used to
+    materialize 128x-padded [1, budget, 1] vmap-broadcast temps (20GB+).
+    Trace the vmapped fwd+bwd at full-res IMAGE shapes (reduced N — the
+    blowup was a layout pattern, not a size threshold) and assert no single
+    tensor, measured in TPU (8, 128)-tile-padded bytes, approaches HBM
+    size. The legitimate worst case today is the per-scan-step
+    [T, chunk, C, P] backward temp (~5.6GB padded); the broken layout
+    produced >20GB single buffers."""
+    import re
+
+    H, W, ts, chunk, mppt = 2048, 1344, 16, 64, 512
+    N, budget = 65536, 262144
+    ntx, nty = -(-W // ts), -(-H // ts)
+    num_tiles = ntx * nty
+    C = 4
+
+    def f(xys, conics, op, col, barrays):
+        out, T = gsplat.rasterize_tiled(
+            xys, conics, op, col, barrays, H, W, ts, mppt, chunk, ntx, nty)
+        return jnp.sum(out) + jnp.sum(T)
+
+    def g(xys, conics, op, col, barrays):
+        return jax.grad(f, argnums=(0, 1, 2, 3))(xys, conics, op, col,
+                                                 barrays)
+
+    sd = jax.ShapeDtypeStruct
+    i32, f32 = jnp.int32, jnp.float32
+    barrays = (sd((budget,), i32), sd((num_tiles,), i32),
+               sd((num_tiles,), i32), sd((N,), f32), sd((budget,), i32),
+               sd((N,), i32), sd((N,), i32), sd((budget,), i32))
+    args = (sd((1, N, 2), f32), sd((1, N, 3), f32), sd((1, N, 1), f32),
+            sd((1, N, C), f32),
+            tuple(sd((1,) + s.shape, s.dtype) for s in barrays))
+    lowered = jax.jit(jax.vmap(g)).lower(*args)
+    txt = lowered.as_text()
+
+    def padded_bytes(dims):
+        if not dims:
+            return 4
+        pad = list(dims)
+        pad[-1] = -(-pad[-1] // 128) * 128
+        if len(pad) >= 2:
+            pad[-2] = -(-pad[-2] // 8) * 8
+        n = 1
+        for d in pad:
+            n *= d
+        return 4 * n
+
+    worst, worst_dims = 0, ()
+    for m in re.finditer(r"tensor<([0-9x]+)x(?:f32|i32|f64|i64)>", txt):
+        dims = tuple(int(d) for d in m.group(1).split("x") if d)
+        b = padded_bytes(dims)
+        if b > worst:
+            worst, worst_dims = b, dims
+    cap = 9 * 1024 ** 3   # today's max ~5.6GB; 128x-padded pair tables blow this
+    assert worst <= cap, (
+        f"oversized intermediate: {worst_dims} = {worst / 2**30:.1f} GiB "
+        f"TPU-padded > {cap / 2**30:.1f} GiB")

@@ -125,3 +125,26 @@ def test_perceptual_losses_run(rng):
     eff = get_loss("effnet", None, {"src_key": "rgb"})
     v2 = eff({"rgb": x}, {"image": y, "image_mask": mask})
     assert np.isfinite(float(v2)) and float(v2) > 0
+
+
+def test_perceptual_requires_weights_or_explicit_optin(monkeypatch):
+    """Missing pretrained npz must be a hard error unless random features
+    are explicitly allowed (round-2 verdict item 8)."""
+    import pytest
+
+    from goliath_tpu.losses import perceptual as P
+
+    monkeypatch.delenv("GOLIATH_TPU_ALLOW_RANDOM_FEATURES", raising=False)
+    monkeypatch.setenv("GOLIATH_TPU_VGG19_NPZ", "")
+    monkeypatch.setenv("GOLIATH_TPU_EFFNET_NPZ", "")
+    P._vgg19_weights.cache_clear()
+    P._effnet_weights.cache_clear()
+    with pytest.raises(RuntimeError, match="VGG19"):
+        P._vgg19_weights()
+    with pytest.raises(RuntimeError, match="EfficientNet"):
+        P._effnet_weights()
+    # config-level opt-in flips the env var
+    P.VGGLoss(None, src_key="rgb", allow_random_features=True)
+    assert P._vgg19_weights() is not None
+    P._vgg19_weights.cache_clear()
+    P._effnet_weights.cache_clear()
