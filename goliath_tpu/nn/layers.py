@@ -340,6 +340,54 @@ def make_conv_trans(*args, **kwargs) -> List[Any]:
     return make_conv(*args, **kwargs, trans=True)
 
 
+class ConcatPyramid(nn.Module):
+    """Wraps an up/down conv branch taking one input X into a branch taking
+    (X, Y): before each conv layer, a gaussian-blur pyramid level of Y is
+    concatenated (reference layers.py:846-933).
+
+    every_other: set when the branch alternates conv / nonlinearity.
+    transposed: branch upsamples (pyramid starts one blur-decimation down and
+    is consumed coarse-to-fine)."""
+
+    branch: Sequence[Any]
+    n_concat_in: int
+    every_other: bool = True
+    ksize: int = 7
+    kstd: Optional[float] = None
+    transposed: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        levels = (
+            (len(self.branch) + 1) // 2 if self.every_other
+            else len(self.branch)
+        )
+        gk = gaussian_kernel(self.ksize, self.kstd)
+        C = self.n_concat_in
+        w = jnp.asarray(np.tile(gk[None, None], (C, 1, 1, 1)))
+        pad = self.ksize // 2
+
+        def blur_decimate(img):
+            blurred = lax.conv_general_dilated(
+                img, w, (1, 1), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=C,
+            )
+            return blurred[:, :, ::2, ::2]
+
+        pyramid = [blur_decimate(y) if self.transposed else y]
+        for _ in range(levels - 1):
+            pyramid.insert(0, blur_decimate(pyramid[0]))
+
+        out = x
+        for i, layer in enumerate(self.branch):
+            if (i % 2) == 0 or not self.every_other:
+                idx = i // 2 if self.every_other else i
+                out = jnp.concatenate([out, pyramid[idx]], axis=1)
+            out = layer(out)
+        return out
+
+
 def gaussian_kernel(ksize: int, std: Optional[float] = None) -> np.ndarray:
     """2D gaussian kernel, normalized to sum 1 (reference layers.py:49-77)."""
     assert ksize % 2 == 1

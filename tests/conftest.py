@@ -26,6 +26,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full-res conv stacks etc.)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
