@@ -129,30 +129,40 @@ def bin_to_tiles(
     prim_of_slot = _cumsum1d(marks)  # [budget]; == N for slots past the end
     in_range = prim_of_slot < N
     p = jnp.clip(prim_of_slot, 0, N - 1)
-    # one row-gather instead of four random gathers (gathers on TPU are
-    # latency-bound, not bandwidth-bound)
-    table = jnp.stack(
-        [offsets.astype(jnp.int32), jnp.maximum(w, 1).astype(jnp.int32),
-         x0.astype(jnp.int32), y0.astype(jnp.int32)], axis=1,
-    )  # [N, 4]
-    rows = table[p]  # [budget, 4]
-    k = slots - rows[:, 0]
-    wk = rows[:, 1]
-    tx = rows[:, 2] + k % wk
-    ty = rows[:, 3] + k // wk
-    tile_of_slot = (ty * num_tiles_x + tx).astype(jnp.int32)
+    # ONE row-gather for all per-prim fields (gathers on TPU are
+    # latency-bound, not bandwidth-bound; a separate qd[p] point gather
+    # measured as expensive as the whole row gather)
     if depth_keys is None:
         shift = 0
-        keys = jnp.where(in_range, tile_of_slot, num_tiles)
+        qd = jnp.zeros_like(offsets)
     else:
-        # composite (tile, depth) key in one int32
         shift = 31 - int(num_tiles + 1).bit_length()
         assert shift >= 12, (
             f"too many tiles ({num_tiles}) for a composite int32 sort key "
             "with a useful depth resolution")
         qd = jnp.clip(depth_keys, 0, (1 << shift) - 1).astype(jnp.int32)
+    table = jnp.stack(
+        [offsets.astype(jnp.int32), jnp.maximum(w, 1).astype(jnp.int32),
+         x0.astype(jnp.int32), y0.astype(jnp.int32), qd], axis=1,
+    )  # [N, 5]
+    rows = table[p]  # [budget, 5]
+    k = slots - rows[:, 0]
+    wk = rows[:, 1]
+    # int div/mod have no TPU hardware path (VPU emulates them with long
+    # multi-op sequences — measured ~60ms at 2M slots); k < K <= 2^24 and
+    # wk <= K, so float division + floor is exact and ~free
+    kd = jnp.floor(k.astype(jnp.float32) / wk.astype(jnp.float32)
+                   ).astype(jnp.int32)
+    tx = rows[:, 2] + (k - kd * wk)
+    ty = rows[:, 3] + kd
+    tile_of_slot = (ty * num_tiles_x + tx).astype(jnp.int32)
+    if depth_keys is None:
+        keys = jnp.where(in_range, tile_of_slot, num_tiles)
+    else:
+        # composite (tile, depth) key in one int32
         keys = jnp.where(
-            in_range, (tile_of_slot << shift) | qd[p], num_tiles << shift
+            in_range, (tile_of_slot << shift) | rows[:, 4],
+            num_tiles << shift
         )
     vals = jnp.where(in_range, p, 0).astype(jnp.int32)
 
@@ -246,9 +256,15 @@ def bin_boxes_to_cells(
     rows = table[p]
     k = slots - rows[:, 0]
     wk, hk = rows[:, 1], rows[:, 2]
-    cx = rows[:, 3] + k % wk
-    cy = rows[:, 4] + (k // wk) % hk
-    cz = rows[:, 5] + k // (wk * hk)
+    # float division instead of emulated int div/mod (see bin_to_tiles);
+    # k < kspan^3 <= max_cells_per_prim and wk, hk <= kspan keep it exact
+    kf = k.astype(jnp.float32)
+    wf = wk.astype(jnp.float32)
+    kw_ = jnp.floor(kf / wf).astype(jnp.int32)              # k // wk
+    kwh = jnp.floor(kf / (wf * hk.astype(jnp.float32))).astype(jnp.int32)
+    cx = rows[:, 3] + (k - kw_ * wk)
+    cy = rows[:, 4] + (kw_ - kwh * hk)
+    cz = rows[:, 5] + kwh
     keys = jnp.where(
         in_range, ((cz * ncy + cy) * ncx + cx).astype(jnp.int32), num_cells)
     vals = jnp.where(in_range, p, 0).astype(jnp.int32)

@@ -503,6 +503,8 @@ def prepare_sample(
     z_near: float = 0.1, global_scale: float = 1.0,
     max_tiles_per_prim: int = 64, pair_budget: int | None = None,
     return_depth: bool = True,
+    y_offset_px=0.0,
+    bin_img_h: int | None = None,
 ):
     """Project one sample's gaussians and bin them to screen tiles.
 
@@ -510,9 +512,18 @@ def prepare_sample(
     depth sort: per-tile depth order comes from a composite
     (tile << bits | quantized-depth) sort key inside the binning (the CUDA
     gsplat key design) — this removes an [N] argsort AND the [N]-row
-    reorder gather from every render."""
+    reorder gather from every render.
+
+    y_offset_px shifts projected centers down-screen by -y_offset (after
+    projection; conics are translation-invariant) and bin_img_h restricts
+    the tile grid to that band height, so a caller can render a horizontal
+    BAND of the full image as if it were a small image — the cross-chip
+    tile-sharding axis (parallel/tile_shard.py). Projection (Jacobian
+    limits, validity, depth range) always uses the FULL cam_img_h, so
+    per-prim quantities are identical across bands."""
     ntx = -(-cam_img_w // tile_size)
-    nty = -(-cam_img_h // tile_size)
+    nty = -(-(bin_img_h if bin_img_h is not None else cam_img_h)
+            // tile_size)
     N = pos.shape[0]
     if pair_budget is None:
         pair_budget = 4 * N
@@ -521,7 +532,9 @@ def prepare_sample(
         K_b[0, 0], K_b[1, 1], K_b[0, 2], K_b[1, 2],
         cam_img_h, cam_img_w, z_near, global_scale,
     )
-    xys = proj["xys"]
+    xys = proj["xys"] - jnp.stack(
+        [jnp.zeros_like(jnp.asarray(y_offset_px, jnp.float32)),
+         jnp.asarray(y_offset_px, jnp.float32)])
     conics = proj["conics"]
     radii = proj["radii"]
     op_s = (op.reshape(-1) * proj["compensation"])[:, None]
