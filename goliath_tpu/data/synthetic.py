@@ -162,12 +162,21 @@ class SyntheticDataset:
         n_lights: int = 5,
         n_pose_dims: int = 6,
         seed: int = 0,
+        render_targets: bool = False,
     ):
         self.rng = np.random.RandomState(seed)
         self.img_h, self.img_w = img_h, img_w
         self.uv_size = uv_size
         self.n_frames = n_frames
         self.n_lights_max = n_lights
+        # render_targets: generate REAL target images (textured lambert-lit
+        # sphere rasterized per view) instead of per-pixel noise, so a model
+        # can actually converge and PSNR/SSIM are meaningful (the quality-
+        # parity protocol; reference eval = ca_code/scripts/run_test.py).
+        # Frame randomness (verts jitter, lights) is then seeded per FRAME,
+        # not per (frame, cam), so views stay multi-view consistent.
+        self.render_targets = render_targets
+        self._targets = None  # lazy [(frame, cam) -> (img, mask)] cache
 
         v, vi, vt, vti = make_sphere_mesh(n_lat, n_lon)
         self.v, self.vi, self.vt, self.vti = v, vi, vt, vti
@@ -176,9 +185,23 @@ class SyntheticDataset:
         self.camera_ids = [f"40{i:04d}" for i in range(n_cams)]
 
         nbs_idxs, nbs_weights = compute_neighbours(len(v), vi)
-        color_mean = (
-            self.rng.rand(3, uv_size, uv_size).astype(np.float32) * 128 + 64
-        )
+        if render_targets:
+            # fixed smooth texture, consistent across frames: a learnable
+            # appearance instead of per-frame noise
+            uu, vv = np.meshgrid(
+                np.linspace(0, 4 * np.pi, uv_size),
+                np.linspace(0, 4 * np.pi, uv_size))
+            color_mean = np.stack([
+                127.5 + 100.0 * np.sin(uu) * np.cos(vv),
+                127.5 + 100.0 * np.sin(uu + 1.3),
+                127.5 + 100.0 * np.cos(vv + 0.7),
+            ]).astype(np.float32)
+        else:
+            color_mean = (
+                self.rng.rand(3, uv_size, uv_size).astype(np.float32) * 128
+                + 64
+            )
+        self._fixed_tex = color_mean
         n_joints = 3
         lbs_model_json, lbs_config_dict = make_synthetic_lbs(
             v, vi, vt, vti, n_joints
@@ -219,13 +242,13 @@ class SyntheticDataset:
     def batch_filter(batch):
         return batch
 
-    def get(self, frame: int, cam: int) -> Dict[str, np.ndarray]:
-        rng = np.random.RandomState(frame * 977 + cam)
-        H, W = self.img_h, self.img_w
-        T = self.uv_size
+    def _frame_state(self, frame: int, cam: int):
+        """Per-frame geometry/lighting; seeded per FRAME in render_targets
+        mode (multi-view consistency), per (frame, cam) otherwise (legacy
+        benchmark fixture behavior)."""
         L = self.n_lights_max
-
-        # per-frame head wobble
+        rng = np.random.RandomState(
+            frame if self.render_targets else frame * 977 + cam)
         angle = 0.1 * np.sin(frame * 0.7)
         ca, sa = np.cos(angle), np.sin(angle)
         R_head = np.asarray(
@@ -234,18 +257,79 @@ class SyntheticDataset:
         head_pose = np.concatenate(
             [R_head, np.asarray([[0.0], [0.0], [0.0]], np.float32)], axis=1
         )
-
         verts = (self.v @ R_head.T).astype(np.float32)
         verts += rng.randn(*verts.shape).astype(np.float32) * 0.2
-
         light_pos = rng.randn(L, 3).astype(np.float32)
         light_pos = 500.0 * light_pos / np.linalg.norm(
             light_pos, axis=-1, keepdims=True
         )
         n_lights = 1 if frame % 3 == 0 else L
         light_intensity = np.ones((L, 1), np.float32) / n_lights
+        return rng, head_pose, verts, light_pos, light_intensity, n_lights
 
-        image = rng.rand(3, H, W).astype(np.float32)
+    def _ensure_targets(self) -> None:
+        """Rasterize every (frame, cam) target once: fixed texture sampled
+        through the UV atlas, lambert-shaded by the frame's active lights."""
+        if self._targets is not None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from goliath_tpu.ops.rasterizer import RenderLayer, interpolate
+        from goliath_tpu.utils.geom import vert_normals
+
+        H, W = self.img_h, self.img_w
+        n_cams = len(self.camera_ids)
+        rl = RenderLayer(H, W, self.vi, self.vt, self.vti)
+        tex = jnp.asarray(self._fixed_tex / 255.0)[None].repeat(n_cams, 0)
+        K = jnp.asarray(self.K)
+        Rt = jnp.asarray(self.Rt)
+        vi = jnp.asarray(self.vi)
+
+        @jax.jit
+        def render_frame(verts, light_pos, light_w):
+            vb = jnp.broadcast_to(verts[None], (n_cams,) + verts.shape)
+            out = rl(vb, tex, K, Rt, edge_grad=False)
+            n = vert_normals(vb, vi)                      # [B, V, 3]
+            ldir = light_pos[None, :, None] - vb[:, None]  # [B, L, V, 3]
+            ldir = ldir / jnp.linalg.norm(ldir, axis=-1, keepdims=True)
+            lam = jnp.clip((n[:, None] * ldir).sum(-1), 0.0)  # [B, L, V]
+            shade = (lam * light_w[None, :, None]).sum(1)     # [B, V]
+            shade_img = jax.vmap(
+                lambda s, ii, bb: interpolate(s[:, None], vi, ii, bb)
+            )(shade, out["index_img"], out["bary_img"])       # [B, 1, H, W]
+            img = out["render"] * (0.25 + 0.75 * shade_img)
+            return jnp.clip(img, 0.0, 1.0), out["mask"]
+
+        targets = {}
+        for frame in range(self.n_frames):
+            _, _, verts, light_pos, light_int, n_lights = \
+                self._frame_state(frame, 0)
+            light_w = jnp.asarray(
+                (light_int[:, 0] * (np.arange(self.n_lights_max) < n_lights))
+                .astype(np.float32))
+            imgs, masks = render_frame(jnp.asarray(verts),
+                                       jnp.asarray(light_pos), light_w)
+            imgs = np.asarray(imgs)
+            masks = np.asarray(masks)
+            for cam in range(n_cams):
+                targets[(frame, cam)] = (imgs[cam], masks[cam])
+        self._targets = targets
+
+    def get(self, frame: int, cam: int) -> Dict[str, np.ndarray]:
+        H, W = self.img_h, self.img_w
+        T = self.uv_size
+        L = self.n_lights_max
+
+        rng, head_pose, verts, light_pos, light_intensity, n_lights = \
+            self._frame_state(frame, cam)
+
+        if self.render_targets:
+            self._ensure_targets()
+            image, mask = self._targets[(frame, cam)]
+        else:
+            image = rng.rand(3, H, W).astype(np.float32)
+            mask = np.ones((1, H, W), np.float32)
         return {
             "head_pose": head_pose,
             "campos": self.campos[cam],
@@ -254,7 +338,8 @@ class SyntheticDataset:
             "frame_id": np.int64(frame),
             "registration_vertices": verts,
             "color": (
-                rng.rand(3, T, T).astype(np.float32) * 255.0
+                self._fixed_tex.copy() if self.render_targets
+                else rng.rand(3, T, T).astype(np.float32) * 255.0
             ),
             "light_intensity": light_intensity,
             "light_pos": light_pos,
@@ -265,7 +350,7 @@ class SyntheticDataset:
             "princpt": self.K[cam][:2, 2],
             "image": image,
             "image_weight": np.ones((1, H, W), np.float32),
-            "image_mask": np.ones((1, H, W), np.float32),
+            "image_mask": mask,
             "background": np.zeros((3, H, W), np.float32),
             "is_fully_lit_frame": np.bool_(frame % 3 == 0),
             # body/hand model extras
