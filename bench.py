@@ -316,10 +316,17 @@ def run(img_h, img_w, uv, batch, n_steps):
     import jax.numpy as jnp
     import optax
 
+    t_start = time.time()
+
+    def phase(tag):
+        print(f"# bench phase {tag}: +{time.time() - t_start:.1f}s",
+              file=sys.stderr, flush=True)
+
     name = os.environ.get("GOLIATH_BENCH_MODEL", "") or "rgca"
     model, loss_fn, optimizer, params, opt_state, jb = BUILDERS[name](
         img_h, img_w, uv, batch
     )
+    phase("build+init done")
 
     from functools import partial
 
@@ -339,6 +346,7 @@ def run(img_h, img_w, uv, batch, n_steps):
     params, opt_state, total = step(params, opt_state, jb, rng, it0)
     _ = float(total)  # host fetch: block_until_ready can be a no-op over
     compile_s = time.time() - t0  # the axon tunnel's async dispatch
+    phase("first step done")
 
     # Best-of-3 chained timing: each repetition runs n_steps back-to-back
     # (pipelined dispatch, ONE host fetch at the end — a per-step fetch

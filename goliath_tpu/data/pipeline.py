@@ -37,7 +37,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 1, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, n_epochs: Optional[int] = None):
+                 prefetch: int = 2, n_epochs: Optional[int] = None,
+                 cache_device: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,6 +47,13 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.n_epochs = n_epochs  # None = loop forever
+        # cache_device: upload the WHOLE dataset to the device once and
+        # assemble batches with on-device gathers (host->device traffic per
+        # step = just the index vector). For small fixture datasets on a
+        # remote-tunnel device (axon), per-step host batch upload dominates
+        # the step (~10 MB/step over a slow link); this removes it.
+        self.cache_device = cache_device
+        self._device_cache: Optional[Dict[str, Any]] = None
 
     def _index_stream(self) -> Iterator[List[int]]:
         rng = np.random.RandomState(self.seed)
@@ -58,7 +66,31 @@ class DataLoader:
                 yield [int(j) for j in order[i: i + self.batch_size]]
             epoch += 1
 
+    def _ensure_device_cache(self) -> Dict[str, Any]:
+        if self._device_cache is None:
+            import jax.numpy as jnp
+
+            items = [self.dataset[i] for i in range(len(self.dataset))]
+            cache: Dict[str, Any] = {}
+            for k in items[0]:
+                v0 = items[0][k]
+                if isinstance(v0, (str, bytes)):
+                    continue  # non-array fields are dropped in device mode
+                cache[k] = jnp.asarray(
+                    np.stack([np.asarray(it[k]) for it in items]))
+            self._device_cache = cache
+            logger.info(
+                "DataLoader: cached %d samples on device (%d keys)",
+                len(items), len(cache))
+        return self._device_cache
+
     def __iter__(self) -> Iterator[Optional[Dict[str, Any]]]:
+        if self.cache_device:
+            cache = self._ensure_device_cache()
+            for idxs in self._index_stream():
+                ji = np.asarray(idxs)
+                yield {k: v[ji] for k, v in cache.items()}
+            return
         if self.num_workers == 0:
             for idxs in self._index_stream():
                 yield collate([self.dataset[j] for j in idxs])

@@ -353,6 +353,19 @@ def reduce_sorted_pair_grads(sorted_g, perm, prim_offsets, prim_ends):
     F = sorted_g.shape[1]
     ops = tuple(sorted_g[:, i] for i in range(F))
     out = jax.lax.sort((perm,) + ops, num_keys=1, is_stable=False)
+    if target_backend() == "tpu":
+        # lane-dense batched cumsum straight off the sort payload columns:
+        # stacking to [budget, F] first would pad F up to 128 lanes and
+        # make the cumsum kernel move ~13x the data (measured 18ms vs ~4)
+        from goliath_tpu.ops.gsplat_pallas import cumsum_cols_pl
+
+        budget = sorted_g.shape[0]
+        csum = cumsum_cols_pl(out[1:]).T                     # [budget, F]
+        bounds = jnp.concatenate([prim_offsets, prim_ends[-1:]])
+        bvals = jnp.where(
+            (bounds > 0)[:, None],
+            csum[jnp.clip(bounds - 1, 0, budget - 1)], 0.0)  # [N+1, F]
+        return bvals[1:] - bvals[:-1]
     presort_g = jnp.stack(out[1:], axis=1)                          # [budget, F]
     return reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
 

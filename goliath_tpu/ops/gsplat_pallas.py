@@ -166,6 +166,75 @@ def cumsum1d_pl(x: jnp.ndarray, rows: int = 512, lanes: int = 128,
     return out.reshape(-1)[:M]
 
 
+def _cumsum1d_batched_kernel(x_ref, out_ref, carry_scr, *, rows: int,
+                             lanes: int):
+    """Grid (F, nb): independent 1-D carry-cumsum per leading row, block
+    layout [1, 1, rows, lanes] (lane-dense — a [M, F] array with F ~ 10
+    pads its minor dim to 128, inflating every DMA ~13x)."""
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        carry_scr[:] = jnp.zeros((1, 1), jnp.float32)
+
+    x = x_ref[0, 0]                                      # [rows, lanes]
+    ones = jnp.ones((lanes, 1), jnp.float32)
+    rowsum = jax.lax.dot_general(
+        x, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    tri_excl = (c_i < r_i).astype(jnp.float32)
+    row_pre = jax.lax.dot_general(
+        tri_excl, rowsum, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    m_i = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+    triR = (l_i <= m_i).astype(jnp.float32)
+    in_row = jax.lax.dot_general(
+        x, triR, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[0, 0] = in_row + row_pre + carry_scr[:]
+    carry_scr[:] = carry_scr[:] + row_pre[rows - 1:rows] \
+        + rowsum[rows - 1:rows]
+
+
+def cumsum_cols_pl(cols, rows: int = 256, lanes: int = 128,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Per-operand inclusive 1-D cumsums: cols is a sequence of F [M]
+    arrays (e.g. lax.sort payload outputs); returns csum [F, M] f32.
+
+    Lane-dense alternative to cumsum_rows_pl for narrow F: the [M, F]
+    layout pads F up to 128 lanes, so every HBM pass moves ~13x the data
+    at F = 10."""
+    F = len(cols)
+    (M,) = cols[0].shape
+    blk = rows * lanes
+    pad = (-M) % blk
+    x = jnp.stack([c.astype(jnp.float32) for c in cols], axis=0)  # [F, M]
+    xp = jnp.pad(x, ((0, 0), (0, pad)))
+    nb = (M + pad) // blk
+    xr = xp.reshape(F, nb, rows, lanes)
+    out = pl.pallas_call(
+        functools.partial(_cumsum1d_batched_kernel, rows=rows, lanes=lanes),
+        grid=(F, nb),
+        in_specs=[pl.BlockSpec((1, 1, rows, lanes),
+                               lambda f, b: (f, b, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, rows, lanes),
+                               lambda f, b: (f, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(xr.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(xr)
+    return out.reshape(F, M + pad)[:, :M]
+
+
 def _compositor_kernel(
     start_ref, end_ref,        # scalar prefetch [T]
     rows_ref,                  # [chunk, F] VMEM block (auto-pipelined)

@@ -53,13 +53,81 @@ def prim_world_aabb(primpos: jnp.ndarray, primrot: jnp.ndarray,
     return primpos - half, primpos + half
 
 
+class PackedVolume(NamedTuple):
+    """Channel-last x-pair-packed voxel rows for fast batched trilinear.
+
+    rows[((k*D + z)*H + y)*W + x] = concat(vol[k, :, z, y, x],
+                                           vol[k, :, z, y, min(x+1, W-1)])
+    so one ROW gather fetches both x-corners of a trilinear tap: 4 row
+    gathers replace grid_sample_3d's 8 channel-first point gathers (TPU
+    gathers are latency-bound per row; channel-first minor-axis gathers
+    additionally tile-pad ~32x)."""
+
+    rows: jnp.ndarray  # [K*D*H*W, 2C]
+    shape: Tuple[int, int, int, int, int]  # (K, C, D, H, W)
+
+
+def pack_volume(vol: jnp.ndarray) -> PackedVolume:
+    """[K, C, D, H, W] -> PackedVolume (2x memory, built once per call)."""
+    K, C, D, H, W = vol.shape
+    r = vol.transpose(0, 2, 3, 4, 1)                     # [K, D, H, W, C]
+    nxt = jnp.concatenate([r[:, :, :, 1:], r[:, :, :, -1:]], axis=3)
+    return PackedVolume(
+        jnp.concatenate([r, nxt], -1).reshape(K * D * H * W, 2 * C),
+        (K, C, D, H, W))
+
+
+def sample_packed(pv: PackedVolume, prim_ids: jnp.ndarray,
+                  y: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear samples of packed per-prim volumes: y [..., 3] (x, y, z in
+    [-1, 1], torch grid_sample align_corners=False semantics, zeros
+    padding) -> [..., C]. prim_ids broadcasts against y's leading axes."""
+    K, C, D, H, W = pv.shape
+    x = (y[..., 0] + 1.0) * (W / 2.0) - 0.5
+    yy = (y[..., 1] + 1.0) * (H / 2.0) - 0.5
+    z = (y[..., 2] + 1.0) * (D / 2.0) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(yy)
+    z0 = jnp.floor(z)
+    wx = x - x0
+    wy = yy - y0
+    wz = z - z0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+    xin0 = (x0i >= 0) & (x0i < W)
+    xin1 = (x0i + 1 >= 0) & (x0i + 1 < W)
+    xc = jnp.clip(x0i, 0, W - 1)
+    # broadcast prim ids against the coord grid [..., S] (y drops its
+    # trailing xyz axis when indexed)
+    base = prim_ids.reshape(
+        prim_ids.shape + (1,) * (y.ndim - 1 - prim_ids.ndim))
+    out = 0.0
+    for dz in (0, 1):
+        zi = z0i + dz
+        zv = (zi >= 0) & (zi < D)
+        zc = jnp.clip(zi, 0, D - 1)
+        wzz = wz if dz else 1 - wz
+        for dy in (0, 1):
+            yi = y0i + dy
+            yv = (yi >= 0) & (yi < H)
+            yc = jnp.clip(yi, 0, H - 1)
+            ridx = ((base * D + zc) * H + yc) * W + xc
+            r = pv.rows[ridx.reshape(-1)].reshape(ridx.shape + (2 * C,))
+            wyy = (wy if dy else 1 - wy) * wzz * (zv & yv)
+            v = (r[..., :C] * ((1 - wx) * xin0)[..., None]
+                 + r[..., C:] * (wx * xin1)[..., None])
+            out = out + v * wyy[..., None]
+    return out
+
+
 def sample_prims(
-    template: jnp.ndarray,   # [K, 4, TD, TH, TW]
+    template: jnp.ndarray,   # [K, 4, TD, TH, TW] or PackedVolume
     prim_ids: jnp.ndarray,   # [CH]
     y: jnp.ndarray,          # [CH, S, 3] prim-local coords
     fadescale: float,
     fadeexp: float,
-    warp: Optional[jnp.ndarray] = None,  # [K, 3, WD, WH, WW]
+    warp=None,               # [K, 3, WD, WH, WW] or PackedVolume
 ) -> jnp.ndarray:
     """Trilinear RGBA samples with border fade: [CH, S, 4].
 
@@ -71,12 +139,11 @@ def sample_prims(
     )
     valid = jnp.all(jnp.abs(y) < 1.0, axis=-1)
     if warp is not None:
-        wgrid = warp[prim_ids]  # [CH, 3, WD, WH, WW]
-        y = jax.vmap(lambda v, c: grid_sample_3d(v, c))(wgrid, y)
-        y = y.transpose(0, 2, 1)  # [CH, S, 3] warped coords
-    tpl = template[prim_ids]  # [CH, 4, TD, TH, TW]
-    rgba = jax.vmap(lambda v, c: grid_sample_3d(v, c))(tpl, y)  # [CH, 4, S]
-    rgba = rgba.transpose(0, 2, 1)  # [CH, S, 4]
+        wpv = warp if isinstance(warp, PackedVolume) else pack_volume(warp)
+        y = sample_packed(wpv, prim_ids, y)  # [CH, S, 3] warped coords
+    tpv = (template if isinstance(template, PackedVolume)
+           else pack_volume(template))
+    rgba = sample_packed(tpv, prim_ids, y)  # [CH, S, 4]
     alpha = rgba[..., 3] * fade * valid
     return jnp.concatenate([rgba[..., :3], alpha[..., None]], axis=-1)
 
@@ -224,6 +291,12 @@ def mvp_raymarch_tiled(
     rd_tiles = _to_tiles(raydir, ntx, nty, tile_size)
     tm_tiles = _to_tiles(tminmax, ntx, nty, tile_size)    # [T, P, 2]
 
+    # pack once, OUTSIDE the vmapped tile march (packing inside the scan
+    # body would rebuild the 2x row table every prim chunk)
+    template = pack_volume(template)
+    if warp is not None:
+        warp = pack_volume(warp)
+
     def march_tile(start, end, rp, rd, tm):
         # prim list for this tile (fixed max)
         idxs = start + jnp.arange(max_prims_per_tile, dtype=jnp.int32)
@@ -364,6 +437,8 @@ def splat_density_grid(
     local = jnp.stack([lx, ly, lz], -1).reshape(1, -1, 3)          # [1,P3,3]
     pos = ((borig + local).astype(jnp.float32) + 0.5) / G * 2.0 - 1.0
 
+    alpha_pv = pack_volume(primalpha[:, None])  # [K, 1, Z, Y, X] rows
+
     def block_density(start, end, pos_b):
         def prim_chunk(acc, ci):
             cidx = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
@@ -372,8 +447,7 @@ def splat_density_grid(
             rel = pos_b[None] - primpos[cp][:, None]
             y = jnp.einsum("kij,kpi->kpj", primrot[cp], rel) \
                 * primscale[cp][:, None]
-            a = jax.vmap(lambda v, c: grid_sample_3d(v[None], c)[0])(
-                primalpha[cp], y)                       # [CH, P3]
+            a = sample_packed(alpha_pv, cp, y)[..., 0]  # [CH, P3]
             fade = jnp.exp(-fadescale * jnp.sum(jnp.abs(y) ** fadeexp, -1))
             valid = jnp.all(jnp.abs(y) < 1.0, axis=-1)
             a = a * fade * valid * cm[:, None]

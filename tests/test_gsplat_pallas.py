@@ -207,3 +207,49 @@ def test_cumsum_kernels_interpret(rng):
                           interpret=True)
     np.testing.assert_array_equal(np.asarray(out1).astype(np.int64),
                                   np.cumsum(v))
+
+    # batched lane-dense variant: per-column cumsums off payload columns
+    cols = [jnp.asarray(rng.standard_normal(3000).astype(np.float32))
+            for _ in range(5)]
+    outc = gp.cumsum_cols_pl(cols, rows=4, lanes=128, interpret=True)
+    assert outc.shape == (5, 3000)
+    for f in range(5):
+        np.testing.assert_allclose(np.asarray(outc[f]),
+                                   np.cumsum(np.asarray(cols[f])),
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_reduce_sorted_pair_grads_tpu_branch(rng, monkeypatch):
+    """The TPU lane-dense reduce branch (sort -> cumsum_cols_pl -> boundary
+    diff) must match the generic presort reduction. Forced on CPU by
+    monkeypatching the backend gate + interpret mode."""
+    import jax
+
+    import goliath_tpu.ops.gsplat as gs
+    from goliath_tpu.ops import gsplat_pallas as gp
+
+    budget, F, N = 4096, 10, 300
+    sorted_g = jnp.asarray(rng.standard_normal((budget, F)).astype(
+        np.float32))
+    perm = jnp.asarray(rng.permutation(budget).astype(np.int32))
+    counts = rng.randint(0, 9, N).astype(np.int32)
+    total = int(counts.sum())
+    assert total < budget
+    ends = np.cumsum(counts).astype(np.int32)
+    offsets = (ends - counts).astype(np.int32)
+
+    ref = gs.reduce_presort_pair_grads(
+        jnp.stack(jax.lax.sort(
+            (perm,) + tuple(sorted_g[:, i] for i in range(F)),
+            num_keys=1, is_stable=False)[1:], axis=1),
+        jnp.asarray(offsets), jnp.asarray(ends))
+
+    real_ccp = gp.cumsum_cols_pl
+    monkeypatch.setattr(gs, "target_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        gp, "cumsum_cols_pl",
+        lambda cols, **kw: real_ccp(cols, rows=8, interpret=True))
+    out = gs.reduce_sorted_pair_grads(
+        sorted_g, perm, jnp.asarray(offsets), jnp.asarray(ends))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
