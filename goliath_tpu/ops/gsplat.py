@@ -617,12 +617,33 @@ def render(
     use_pallas: bool = False,
     pallas_inner: int = 256,
     return_radii: bool = False,
+    tile_shard_mesh=None,
+    tile_shard_axis: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched gaussian-splat render (reference render_gsplat.py:13-108).
 
     Returns dict(render [B,3,H,W], final_T [B,1,H,W], alpha [B,1,H,W],
     depth [B,1,H,W], radii [B,N]).
+
+    With tile_shard_mesh/tile_shard_axis set, the screen's tile rows are
+    sharded over that mesh axis via shard_map (parallel/tile_shard.py) —
+    the SURVEY 2.8 pixels-axis scale-out for full-res batches that
+    pressure a single chip's HBM. return_radii is unsupported there.
     """
+    if tile_shard_axis is not None:
+        from goliath_tpu.parallel.tile_shard import render_tile_sharded
+
+        assert not return_radii, "radii not plumbed through the tile shard"
+        return render_tile_sharded(
+            tile_shard_mesh, tile_shard_axis, cam_img_w, cam_img_h,
+            K, Rt, primpos, primqvec, primscale, opacity, colors,
+            return_depth=return_depth, bg_color=bg_color,
+            tile_size=tile_size, global_scale=global_scale, z_near=z_near,
+            max_tiles_per_prim=max_tiles_per_prim,
+            max_pairs_per_tile=max_pairs_per_tile, chunk=chunk,
+            pair_budget_mult=pair_budget_mult, use_pallas=use_pallas,
+            pallas_inner=pallas_inner,
+        )
     ntx = -(-cam_img_w // tile_size)
     nty = -(-cam_img_h // tile_size)
     N = primpos.shape[1]

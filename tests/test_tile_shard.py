@@ -77,6 +77,39 @@ def test_tile_sharded_grads_match_single(scene):
         np.testing.assert_allclose(a / s, b / s, atol=1e-4, err_msg=name)
 
 
+def test_rgca_model_with_tile_sharded_render():
+    """RGCA forward with render.tile_shard_* routed through shard_map must
+    match the single-device model (the SURVEY 2.8 pixels-axis scale-out,
+    wired at the model config level)."""
+    import jax.numpy as jnp
+
+    from goliath_tpu.data.synthetic import SyntheticDataset
+    from goliath_tpu.models.rgca import AutoEncoder
+
+    ds = SyntheticDataset(n_cams=2, n_frames=2, img_h=64, img_w=64,
+                          uv_size=32, seed=7)
+    mesh = make_mesh(4, axis_name="tile")
+    common = dict(
+        encoder={"noise_std": 0.0}, decoder={"n_color_sh": 1},
+        assets=ds.static_assets, image_height=64, image_width=64,
+        cal=None, n_embs=8, n_diff_sh=2, learn_blur=False, uv_size=32,
+    )
+    m_ref = AutoEncoder(
+        render={"max_pairs_per_tile": 64, "chunk": 16}, **common)
+    m_sh = AutoEncoder(
+        render={"max_pairs_per_tile": 64, "chunk": 16,
+                "tile_shard_mesh": mesh, "tile_shard_axis": "tile"},
+        **common)
+    batch = next(ds.batches(2, 1))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not isinstance(v, list)}
+    params = m_ref.init(jax.random.PRNGKey(0), jb)
+    out_ref = m_ref.apply(params, jb, train=False)
+    out_sh = m_sh.apply(params, jb, train=False)
+    np.testing.assert_allclose(np.asarray(out_sh["rgb"]),
+                               np.asarray(out_ref["rgb"]), atol=3e-5)
+
+
 def test_composite_over_associative():
     rs = np.random.RandomState(0)
     c = [jnp.asarray(rs.uniform(0, 1, (2, 3, 4, 4)).astype(np.float32))
