@@ -571,12 +571,17 @@ def prepare_sample(
 
     num_tiles = ntx * nty
     dbits = 31 - int(num_tiles + 1).bit_length()
-    dmask = jnp.where(valid, depth_s, jnp.inf)
+    # quantize depth in LOG space: linear quantization collapses to a few
+    # levels when one far outlier stretches [dmin, dmax] (advisor finding,
+    # round 2); log-depth keeps RELATIVE resolution, which is what
+    # compositing order cares about. Valid prims have depth > z_near > 0.
+    ld = jnp.log(jnp.maximum(depth_s, z_near))
+    dmask = jnp.where(valid, ld, jnp.inf)
     dmin = jnp.min(dmask)
-    dmax = jnp.max(jnp.where(valid, depth_s, -jnp.inf))
+    dmax = jnp.max(jnp.where(valid, ld, -jnp.inf))
     dspan = jnp.maximum(dmax - dmin, 1e-9)
     qd = jnp.clip(
-        ((depth_s - dmin) / dspan * ((1 << dbits) - 1)),
+        ((ld - dmin) / dspan * ((1 << dbits) - 1)),
         0, (1 << dbits) - 1,
     ).astype(jnp.int32)
 
