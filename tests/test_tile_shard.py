@@ -30,25 +30,9 @@ def scene():
     return tuple(jnp.asarray(x) for x in (K, Rt, pos, quat, scale, op, col))
 
 
-def test_tile_sharded_render_matches_single(scene):
-    K, Rt, pos, quat, scale, op, col = scene
-    H, W = 64, 32
-    kw = dict(tile_size=16, max_pairs_per_tile=256, chunk=32,
-              pair_budget_mult=8)
-
-    ref = gsplat.render(W, H, K, Rt, pos, quat, scale, op, col, **kw)
-
-    mesh = make_mesh(4, axis_name="tile")
-    out = render_tile_sharded(
-        mesh, "tile", W, H, K, Rt, pos, quat, scale, op, col, **kw)
-
-    for key in ("render", "alpha", "depth", "final_T"):
-        np.testing.assert_allclose(
-            np.asarray(out[key]), np.asarray(ref[key]), atol=2e-5,
-            err_msg=key)
-
-
-def test_tile_sharded_grads_match_single(scene):
+def test_tile_sharded_outputs_and_grads_match_single(scene):
+    """Outputs AND grads of the band-sharded render vs single-device, in
+    one value_and_grad compile per path (CPU compiles dominate runtime)."""
     K, Rt, pos, quat, scale, op, col = scene
     H, W = 64, 32
     kw = dict(tile_size=16, max_pairs_per_tile=256, chunk=32,
@@ -59,17 +43,23 @@ def test_tile_sharded_grads_match_single(scene):
 
     def loss_single(pos, scale, op, col):
         r = gsplat.render(W, H, K, Rt, pos, quat, scale, op, col, **kw)
-        return ((r["render"] - tgt) ** 2).mean() + r["alpha"].mean()
+        return ((r["render"] - tgt) ** 2).mean() + r["alpha"].mean(), r
 
     def loss_sharded(pos, scale, op, col):
         r = render_tile_sharded(
             mesh, "tile", W, H, K, Rt, pos, quat, scale, op, col, **kw)
-        return ((r["render"] - tgt) ** 2).mean() + r["alpha"].mean()
+        return ((r["render"] - tgt) ** 2).mean() + r["alpha"].mean(), r
 
-    v1, g1 = jax.value_and_grad(loss_single, argnums=(0, 1, 2, 3))(
+    (v1, r1), g1 = jax.value_and_grad(
+        loss_single, argnums=(0, 1, 2, 3), has_aux=True)(
         pos, scale, op, col)
-    v2, g2 = jax.value_and_grad(loss_sharded, argnums=(0, 1, 2, 3))(
+    (v2, r2), g2 = jax.value_and_grad(
+        loss_sharded, argnums=(0, 1, 2, 3), has_aux=True)(
         pos, scale, op, col)
+    for key in ("render", "alpha", "depth", "final_T"):
+        np.testing.assert_allclose(
+            np.asarray(r2[key]), np.asarray(r1[key]), atol=2e-5,
+            err_msg=key)
     # per-band pair budgets may truncate a handful of far pairs the global
     # budget keeps (documented render_tile_sharded semantics) — value and
     # grads agree to ~1e-4
@@ -89,12 +79,12 @@ def test_rgca_model_with_tile_sharded_render():
     from goliath_tpu.data.synthetic import SyntheticDataset
     from goliath_tpu.models.rgca import AutoEncoder
 
-    ds = SyntheticDataset(n_cams=2, n_frames=2, img_h=64, img_w=64,
+    ds = SyntheticDataset(n_cams=2, n_frames=2, img_h=48, img_w=48,
                           uv_size=32, seed=7)
     mesh = make_mesh(4, axis_name="tile")
     common = dict(
         encoder={"noise_std": 0.0}, decoder={"n_color_sh": 1},
-        assets=ds.static_assets, image_height=64, image_width=64,
+        assets=ds.static_assets, image_height=48, image_width=48,
         cal=None, n_embs=8, n_diff_sh=2, learn_blur=False, uv_size=32,
     )
     m_ref = AutoEncoder(
