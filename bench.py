@@ -434,6 +434,27 @@ def main():
     # subprocess instead
     import subprocess
 
+    # the axon tunnel can be transiently unreachable (observed multi-hour
+    # outages where jax.devices() hangs); burn wait time instead of burning
+    # every rung's timeout on a dead device. Probe in a SUBPROCESS — a hung
+    # device probe in this process would be unkillable.
+    def device_healthy() -> bool:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=150,
+        )
+        return r.returncode == 0
+
+    while time.time() < deadline - 600:
+        try:
+            if device_healthy():
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print("# device unreachable, waiting 120s", file=sys.stderr,
+              flush=True)
+        time.sleep(120)
+
     best: dict[str, tuple[float, str]] = {}  # metric -> (vs, json line)
     rgca_fullres_ok = False
 
