@@ -52,6 +52,95 @@ def composite_over(a, b):
     return ca + ta[..., None, :, :] * cb, ta * tb
 
 
+def render_prim_sharded(
+    mesh: Mesh,
+    axis: str,
+    cam_img_w: int,
+    cam_img_h: int,
+    K: jnp.ndarray,           # [B, 3, 3]
+    Rt: jnp.ndarray,          # [B, 3or4, 4]
+    primpos: jnp.ndarray,     # [B, N, 3]
+    primqvec: jnp.ndarray,    # [B, N, 4]
+    primscale: jnp.ndarray,   # [B, N, 3]
+    opacity: jnp.ndarray,     # [B, N, 1]
+    colors: jnp.ndarray,      # [B, N, 3]
+    return_depth: bool = True,
+    bg_color: jnp.ndarray | None = None,
+    **render_kwargs,
+) -> Dict[str, jnp.ndarray]:
+    """render() with the PRIMITIVE axis sharded as depth slabs (SURVEY 2.8
+    axis 4): each chip composites a contiguous depth slab of the gaussians
+    over the full image; per-chip (color+depth, transmittance) pairs fold
+    exactly with the associative over-operator after one all_gather.
+
+    Scales the primitive SET beyond one chip's HBM: every N-proportional
+    cost (projection, binning, pair budget, backward reduction) shrinks by
+    the slab count. The full image is composited per chip, so per-PIXEL
+    costs do not shrink — combine with the tile axis on a 2-D mesh when
+    both axes are the bottleneck. Slab order uses exact f32 depths (a
+    stable [N] argsort), a strict refinement of the single-chip quantized
+    per-tile ordering."""
+    from goliath_tpu.ops import gsplat
+
+    nslabs = mesh.shape[axis]
+    B, N = primpos.shape[:2]
+    n_pad = (-N) % nslabs
+    slab = (N + n_pad) // nslabs
+
+    def body(K, Rt, pos, quat, scale, op, col):
+        s = jax.lax.axis_index(axis)
+
+        def one(K_b, Rt_b, pos_b, quat_b, scale_b, op_b, col_b):
+            # depth-sort the prims and take this chip's contiguous slab
+            Rz = Rt_b[2, :3]
+            depth = pos_b @ Rz + Rt_b[2, 3]
+            order = jnp.argsort(depth)  # stable
+            take = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(order, (0, n_pad), constant_values=N - 1),
+                s * slab, slab)
+            # padded tail slots replicate the farthest prim with opacity 0
+            pad_live = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(jnp.ones((N,), op_b.dtype), (0, n_pad)),
+                s * slab, slab)
+            return (pos_b[take], quat_b[take], scale_b[take],
+                    op_b[take] * pad_live[:, None], col_b[take])
+
+        sl = [jnp.stack(x) for x in zip(*[
+            one(K[b], Rt[b], pos[b], quat[b], scale[b], op[b], col[b])
+            for b in range(B)])]
+        out = gsplat.render(
+            cam_img_w, cam_img_h, K, Rt, *sl,
+            return_depth=return_depth, bg_color=None, **render_kwargs)
+        C = jnp.concatenate(
+            [out["render"]] + ([out["depth"]] if return_depth else []),
+            axis=1)                                   # [B, C', H, W]
+        T = out["final_T"][:, 0]                      # [B, H, W]
+        # fold slabs front-to-back: gather every chip's pair and reduce
+        # with the associative over-operator in slab order (exact)
+        Cs = jax.lax.all_gather(C, axis)              # [nslabs, B, C', H, W]
+        Ts = jax.lax.all_gather(T, axis)
+        acc = (Cs[0], Ts[0])
+        for i in range(1, nslabs):
+            acc = composite_over(acc, (Cs[i], Ts[i]))
+        return acc
+
+    C, T_final = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(),) * 7,
+        out_specs=(P(), P()),
+        check_rep=False,
+    )(K, Rt, primpos, primqvec, primscale, opacity, colors)
+
+    rgb = C[:, :3]
+    alpha = (1.0 - T_final)[:, None]
+    if bg_color is not None:
+        rgb = rgb + T_final[:, None] * bg_color[None, :, None, None]
+    result = {"render": rgb, "final_T": T_final[:, None], "alpha": alpha}
+    if return_depth:
+        result["depth"] = C[:, 3:4]
+    return result
+
+
 def render_tile_sharded(
     mesh: Mesh,
     axis: str,

@@ -103,6 +103,42 @@ def test_rgca_model_with_tile_sharded_render():
                                np.asarray(out_ref["rgb"]), atol=3e-5)
 
 
+def test_prim_sharded_render_matches_single(scene):
+    """Depth-slab (primitive-axis) sharding: 4 chips compositing N/4-prim
+    slabs folded with the over-operator must match the single-device
+    render, including gradients through the slab gather + all_gather."""
+    from goliath_tpu.parallel.tile_shard import render_prim_sharded
+
+    K, Rt, pos, quat, scale, op, col = scene
+    H, W = 64, 32
+    kw = dict(tile_size=16, max_pairs_per_tile=256, chunk=32,
+              pair_budget_mult=8)
+    mesh = make_mesh(4, axis_name="slab")
+
+    def loss_single(pos, op, col):
+        r = gsplat.render(W, H, K, Rt, pos, quat, scale, op, col, **kw)
+        return (r["render"] ** 2).mean() + r["alpha"].mean(), r
+
+    def loss_sharded(pos, op, col):
+        r = render_prim_sharded(
+            mesh, "slab", W, H, K, Rt, pos, quat, scale, op, col, **kw)
+        return (r["render"] ** 2).mean() + r["alpha"].mean(), r
+
+    (v1, r1), g1 = jax.value_and_grad(
+        loss_single, argnums=(0, 1, 2), has_aux=True)(pos, op, col)
+    (v2, r2), g2 = jax.value_and_grad(
+        loss_sharded, argnums=(0, 1, 2), has_aux=True)(pos, op, col)
+    for key in ("render", "alpha", "depth", "final_T"):
+        np.testing.assert_allclose(
+            np.asarray(r2[key]), np.asarray(r1[key]), atol=5e-5,
+            err_msg=key)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-4)
+    for a, b, name in zip(g1, g2, ("pos", "op", "col")):
+        a, b = np.asarray(a), np.asarray(b)
+        s = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a / s, b / s, atol=2e-4, err_msg=name)
+
+
 def test_composite_over_associative():
     rs = np.random.RandomState(0)
     c = [jnp.asarray(rs.uniform(0, 1, (2, 3, 4, 4)).astype(np.float32))
