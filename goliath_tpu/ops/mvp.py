@@ -240,6 +240,7 @@ def mvp_raymarch_tiled(
     fadeexp: float = 8.0,
     termthresh: float = 0.99,
     warp: Optional[jnp.ndarray] = None,  # [K, 3, WD, WH, WW]
+    tile_group: int = 64,
 ) -> jnp.ndarray:
     """Tile-culled fixed-step MVP march. Returns rgba image [H, W, 4].
 
@@ -357,9 +358,22 @@ def mvp_raymarch_tiled(
         )  # [P, 4]
         return out
 
-    out_tiles = jax.vmap(march_tile)(
-        binning.tile_start, binning.tile_end, rp_tiles, rd_tiles, tm_tiles
-    )  # [T, P, 4]
+    # march tiles in groups of `tile_group` via lax.map (sequential scan):
+    # a flat vmap over all T tiles materializes the per-chunk sample tensor
+    # [T, chunk, P, S, 4] — ~86 GB at hand scale (10752 tiles) — while a
+    # group bounds live intermediates at tile_group x chunk x P x S x 4
+    T_tiles = binning.tile_start.shape[0]
+    g = min(tile_group, T_tiles)
+    t_pad = (-T_tiles) % g
+    def _padt(x):
+        return jnp.pad(x, ((0, t_pad),) + ((0, 0),) * (x.ndim - 1))
+    grouped = tuple(
+        _padt(x).reshape((T_tiles + t_pad) // g, g, *x.shape[1:])
+        for x in (binning.tile_start, binning.tile_end, rp_tiles, rd_tiles,
+                  tm_tiles))
+    out_tiles = lax.map(
+        lambda a: jax.vmap(march_tile)(*a), grouped
+    ).reshape(-1, tile_size * tile_size, 4)[:T_tiles]  # [T, P, 4]
     img = out_tiles.reshape(nty, ntx, tile_size, tile_size, 4)
     img = img.transpose(0, 2, 1, 3, 4).reshape(
         nty * tile_size, ntx * tile_size, 4
