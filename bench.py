@@ -256,6 +256,7 @@ def build_hand_mvp(img_h: int, img_w: int, uv: int, batch: int,
         "max_prims_per_tile": int(
             os.environ.get("GOLIATH_BENCH_MVP_MPPT", 64)),
         "chunk": int(os.environ.get("GOLIATH_BENCH_MVP_CHUNK", 16)),
+        "tile_group": int(os.environ.get("GOLIATH_BENCH_MVP_TILEGROUP", 32)),
     }
     cls = HandTeacher if teacher else HandMVP
     model = cls(
