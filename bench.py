@@ -302,6 +302,13 @@ BUILDERS = {
                                                       teacher=True),
 }
 
+# mesh_vae_drivable has no separate rung by design: its hot path (ConvDecoder
+# pyramids + UNetViewDecoder + UpscaleNet + drtk-equiv raster) is identical to
+# mesh_vae's — the only deltas are the frozen FaceDecoderFrontal (a small
+# conv-transpose stack run under stop_gradient) and a masked FaceEncoder,
+# both << 1% of the step. mesh_vae's number stands in for both
+# (tests/test_mesh_vae_drivable.py covers functional correctness).
+
 # (metric name, per-step baseline steps/s, reference batch size)
 MODEL_BASELINES = {
     "rgca": ("rgca_train_step_time", BASELINE_STEPS_PER_SEC, 4),
@@ -386,6 +393,31 @@ def run_single(h, w, u, b, n_steps):
                 f"workload-normalized {eff:.3f} ref-steps/s)",
         "vs_baseline": round(eff / baseline, 3),
     }))
+
+
+def report_rung_failure(tag: str, err_text: str, logname: str) -> str:
+    """Persist a failed rung's full stderr and surface the REAL exception
+    line — not JAX's 'For simplicity...' filter banner, which made the
+    three failed BENCH_r03 rungs undiagnosable. Returns the surfaced line.
+    """
+    import re
+
+    logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "runs", "bench_logs")
+    os.makedirs(logdir, exist_ok=True)
+    logpath = os.path.join(logdir, logname)
+    with open(logpath, "w") as f:
+        f.write(err_text[-200_000:])
+    hits = [ln for ln in err_text.splitlines()
+            if re.search(r"(RESOURCE_EXHAUSTED|FAILED_PRECONDITION|"
+                         r"INTERNAL|UNAVAILABLE|INVALID_ARGUMENT|"
+                         r"\b\w+Error\b)", ln)
+            and "For simplicity" not in ln]
+    tail = hits[-1] if hits else (
+        (err_text.strip().splitlines() or ["?"])[-1])
+    print(f"# rung ({tag}) failed: {tail[:300]} (full stderr: {logpath})",
+          file=sys.stderr)
+    return tail
 
 
 def main():
@@ -478,6 +510,9 @@ def main():
             "GOLIATH_BENCH_STEPS": str(n_steps),
             "GOLIATH_BENCH_PALLAS": pl,
             "GOLIATH_RGCA_REMAT": "0" if noremat else "1",
+            # real tracebacks in rung stderr (BENCH_r03's failures were
+            # unexplainable because the filtered banner was the last line)
+            "JAX_TRACEBACK_FILTERING": "off",
         })
         if pl == "0":
             # the XLA-scan compositor materializes [tiles, chunk, C, P]
@@ -492,9 +527,16 @@ def main():
                 capture_output=True, text=True,
                 timeout=min(rung_to, remaining),
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             print(f"# rung ({mdl} b={b}, {h}x{w}, uv={u}, pallas={pl}) "
                   "timed out", file=sys.stderr)
+            for tag, buf in (("stdout", e.stdout), ("stderr", e.stderr)):
+                if buf:
+                    txt = buf.decode() if isinstance(buf, bytes) else buf
+                    last = txt.strip().splitlines()[-1:]
+                    if last:
+                        print(f"#   timeout {tag} tail: {last[0][:200]}",
+                              file=sys.stderr)
             return
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith('{"metric"')), None)
@@ -515,9 +557,10 @@ def main():
                       f"ok but not an improvement: vs_baseline={vs}",
                       file=sys.stderr)
             return
-        tail = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
-        print(f"# rung ({mdl} b={b}, {h}x{w}, uv={u}, pallas={pl}) "
-              f"failed: {tail[0][:200]}", file=sys.stderr)
+        report_rung_failure(
+            f"{mdl} b={b}, {h}x{w}, uv={u}, pallas={pl}",
+            (r.stderr or "") + "\n" + (r.stdout or ""),
+            f"rung_{mdl}_b{b}_{h}x{w}_uv{u}_pl{pl or 'x'}.stderr")
 
     for spec in primary:
         attempt(spec)
