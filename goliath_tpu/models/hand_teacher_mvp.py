@@ -31,12 +31,64 @@ from goliath_tpu.models import hand_mvp as base
 from goliath_tpu.nn.color_cal import CalV5
 from goliath_tpu.nn.dof_cal import LearnableBlur
 from goliath_tpu.nn.layers import Conv2dWNUB, leaky_relu
-from goliath_tpu.ops.mvp import shadow_at_points, splat_density_grid
+from goliath_tpu.ops.mvp import (
+    shadow_at_points,
+    shadow_at_points_exact,
+    splat_density_grid,
+)
 from goliath_tpu.ops.raygen import compute_raydirs, make_pixelcoords
 from goliath_tpu.utils.render_raymarcher import Raymarcher
 from goliath_tpu.utils.sampling import interpolate_bilinear
 
 logger = logging.getLogger(__name__)
+
+
+class _OLATUNet(nn.Module):
+    """The OLAT decoder's UNet over (lightvec, viewdir, 1 - shadow) slabs
+    (reference hand_teacher_mvp.py:434-492): bilinear-resampled encoder/
+    decoder ladder with joint-feature injection at the bottleneck."""
+
+    uv_size: int
+    pz: int
+    n_enc_dims: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, jf: jnp.ndarray) -> jnp.ndarray:
+        S, pz = self.uv_size, self.pz
+        d = list(self.n_enc_dims)
+        in_feats = (2 * 3 + 1) * pz
+        sizes = [S // (2**i) for i in range(len(d))]
+        enc_dims = [(in_feats, d[0])] + [(d[i - 1], d[i])
+                                         for i in range(1, len(d))]
+        dec_dims = [(d[-1] + jf.shape[1], d[-2])]
+        for i in range(1, len(d) - 1):
+            dec_dims.append((d[len(d) - 1 - i] * 2, d[len(d) - 2 - i]))
+        dec_dims.append((d[0] * 2, pz * 4))
+
+        enc_acts = []
+        for i, size in enumerate(sizes):
+            cin, cout = enc_dims[i]
+            x = Conv2dWNUB(cin, cout, size, size, 3, 1, 1, name=f"enc{i}")(x)
+            x = leaky_relu(x, 0.2)
+            enc_acts.append(x)
+            if i < len(sizes) - 1:
+                x = interpolate_bilinear(x, size=(size // 2, size // 2),
+                                         align_corners=True)
+        for i in range(len(sizes)):
+            size = sizes[-i - 1]
+            cin, cout = dec_dims[i]
+            if i == 0:
+                jf_r = interpolate_bilinear(jf, size=x.shape[2:],
+                                            align_corners=True)
+                x = jnp.concatenate([x, jf_r], axis=1)
+            else:
+                x_prev = enc_acts[-i - 1]
+                x = interpolate_bilinear(x, size=x_prev.shape[2:4],
+                                         align_corners=True)
+                x = jnp.concatenate([x, x_prev], axis=1)
+            x = Conv2dWNUB(cin, cout, size, size, 3, 1, 1, name=f"dec{i}")(x)
+            x = leaky_relu(x, 0.2)
+        return x
 
 
 class OLATRGBDecoder(nn.Module):
@@ -51,6 +103,9 @@ class OLATRGBDecoder(nn.Module):
     n_enc_dims: Tuple[int, ...] = (64, 64, 64, 64, 64)
     shadow_grid_res: int = 64
     shadow_steps: int = 32
+    # "grid" (production: global density grid, ops/mvp.py docstring) or
+    # "exact" (brute-force per-prim oracle — O(K^2 V S), parity studies only)
+    shadow_mode: str = "grid"
 
     @nn.compact
     def __call__(
@@ -96,14 +151,20 @@ class OLATRGBDecoder(nn.Module):
 
         # deep shadow via the global density grid (stop-grad like the ref)
         def one_shadow(pp, pr, ps, alpha_k, lp):
-            density = splat_density_grid(
-                pp / vr, pr, ps, alpha_k, self.shadow_grid_res
-            )
+            density = None
+            if self.shadow_mode == "grid":
+                density = splat_density_grid(
+                    pp / vr, pr, ps, alpha_k, self.shadow_grid_res
+                )
 
             def per_light(lp_one):
                 pts = (pp[:, None] + vr * jnp.einsum(
                     "kij,kvj->kvi", pr,
                     y_local[None] / ps[:, None])).reshape(-1, 3) / vr
+                if self.shadow_mode == "exact":
+                    return shadow_at_points_exact(
+                        pp / vr, pr, ps, alpha_k, pts, lp_one / vr,
+                        self.shadow_steps)
                 return shadow_at_points(density, pts, lp_one / vr,
                                         self.shadow_steps)
 
@@ -148,41 +209,14 @@ class OLATRGBDecoder(nn.Module):
         jf = jnp.repeat(joint_feat[:, None], L, 1).reshape(
             B * L, *joint_feat.shape[1:])
 
-        # UNet (reference :434-492)
-        d = list(self.n_enc_dims)
-        in_feats = (2 * 3 + 1) * pz
-        sizes = [S // (2**i) for i in range(len(d))]
-        enc_dims = [(in_feats, d[0])] + [(d[i - 1], d[i])
-                                         for i in range(1, len(d))]
-        dec_dims = [(d[-1] + jf.shape[1], d[-2])]
-        for i in range(1, len(d) - 1):
-            dec_dims.append((d[len(d) - 1 - i] * 2, d[len(d) - 2 - i]))
-        dec_dims.append((d[0] * 2, pz * 4))
-
-        enc_acts = []
-        for i, size in enumerate(sizes):
-            cin, cout = enc_dims[i]
-            x = Conv2dWNUB(cin, cout, size, size, 3, 1, 1, name=f"enc{i}")(x)
-            x = leaky_relu(x, 0.2)
-            enc_acts.append(x)
-            if i < len(sizes) - 1:
-                x = interpolate_bilinear(x, size=(size // 2, size // 2),
-                                         align_corners=True)
-        for i in range(len(sizes)):
-            size = sizes[-i - 1]
-            cin, cout = dec_dims[i]
-            if i == 0:
-                jf_r = interpolate_bilinear(jf, size=x.shape[2:],
-                                            align_corners=True)
-                x = jnp.concatenate([x, jf_r], axis=1)
-            else:
-                x_prev = enc_acts[-i - 1]
-                x = interpolate_bilinear(x, size=x_prev.shape[2:4],
-                                         align_corners=True)
-                x = jnp.concatenate([x, x_prev], axis=1)
-            x = Conv2dWNUB(cin, cout, size, size, 3, 1, 1, name=f"dec{i}")(x)
-            x = leaky_relu(x, 0.2)
-        tex = x.reshape(B, L, pz, 4, S, S)
+        # UNet (reference :434-492), rematerialized: its saved activations
+        # at uv 1024 x (B*L=5) were ~16 GB of bwd residuals (the round-3
+        # hand_teacher rung OOM after the shadow fix) — nn.remat keeps only
+        # the UNet inputs and recomputes activations in the bwd
+        unet = nn.remat(_OLATUNet)(
+            uv_size=S, pz=pz, n_enc_dims=tuple(self.n_enc_dims),
+            name="unet")
+        tex = unet(x, jf).reshape(B, L, pz, 4, S, S)
 
         if train and iteration is not None:
             warm = (jnp.asarray(iteration) < 1000)
@@ -211,6 +245,8 @@ class OLATRGBDecoder(nn.Module):
 
 class _HandTeacherNet(base._HandMVPNet):
     """Extends the hand_mvp net with the OLAT relight path."""
+
+    shadow_mode: str = "grid"
 
     @nn.compact
     def __call__(
@@ -246,7 +282,8 @@ class _HandTeacherNet(base._HandMVPNet):
                                   name="poseencoder2")(pose)
         dec_preds = OLATRGBDecoder(
             self.uv_size, self.primsize, n_prim_x, n_prim_y,
-            self.volradius, name="relightdecoder",
+            self.volradius, shadow_mode=self.shadow_mode,
+            name="relightdecoder",
         )(
             campos, geo_preds["primpos"], geo_preds["primrot"],
             geo_preds["primscale"], geo_preds["primalpha"],
@@ -296,12 +333,12 @@ class _HandTeacherNet(base._HandMVPNet):
 class AutoEncoder(base.AutoEncoder):
     """Facade reusing hand_mvp's host-side precompute with the teacher net."""
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, shadow_mode: str = "grid", **kwargs):
         super().__init__(*args, **kwargs)
         cfg = {f: getattr(self.module, f)
                for f in self.module.__dataclass_fields__
                if f not in ("parent", "name")}
-        self.module = _HandTeacherNet(**cfg)
+        self.module = _HandTeacherNet(shadow_mode=shadow_mode, **cfg)
 
 
 HandMVPSummary = base.HandMVPSummary

@@ -242,7 +242,7 @@ def mvp_raymarch_tiled(
     warp: Optional[jnp.ndarray] = None,  # [K, 3, WD, WH, WW]
     tile_group: int = 64,
 ) -> jnp.ndarray:
-    """Tile-culled fixed-step MVP march. Returns rgba image [H, W, 4].
+    """Tile-culled fixed-step MVP march. Returns rgba image [4, H, W].
 
     Rays and prims are in the *normalized* volume frame (the Raymarcher
     facade divides by volradius); K_cam/Rt_cam only drive screen-tile
@@ -356,12 +356,20 @@ def mvp_raymarch_tiled(
         out = jax.vmap(lambda r, a: accumulate_additive(r, a, stepsize))(
             rgb_mean, alpha
         )  # [P, 4]
-        return out
+        # channel-first so the stacked lax.map output (and its cotangent)
+        # is [..., 4, P] — a [..., P, 4] stack tile-pads 4 -> 128 lanes
+        # (5.25 GB at hand scale, part of the round-3 hand_mvp rung OOM)
+        return out.T  # [4, P]
 
     # march tiles in groups of `tile_group` via lax.map (sequential scan):
     # a flat vmap over all T tiles materializes the per-chunk sample tensor
     # [T, chunk, P, S, 4] — ~86 GB at hand scale (10752 tiles) — while a
-    # group bounds live intermediates at tile_group x chunk x P x S x 4
+    # group bounds live intermediates at tile_group x chunk x P x S x 4.
+    # The group body is additionally rematerialized: without it AD saves
+    # each group's [P, S]-shaped march state as stacked lax.map residuals —
+    # [T, P, S, 4] = 22 GB at hand scale b=4, the round-3 hand_mvp rung OOM
+    # (f32[336,4,32,256,128,3] AllocateBuffer). Recomputing the march in
+    # the bwd trades ~2x march FLOPs for O(T*P*4) residuals.
     T_tiles = binning.tile_start.shape[0]
     g = min(tile_group, T_tiles)
     t_pad = (-T_tiles) % g
@@ -372,13 +380,13 @@ def mvp_raymarch_tiled(
         for x in (binning.tile_start, binning.tile_end, rp_tiles, rd_tiles,
                   tm_tiles))
     out_tiles = lax.map(
-        lambda a: jax.vmap(march_tile)(*a), grouped
-    ).reshape(-1, tile_size * tile_size, 4)[:T_tiles]  # [T, P, 4]
-    img = out_tiles.reshape(nty, ntx, tile_size, tile_size, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(
-        nty * tile_size, ntx * tile_size, 4
+        lambda a: jax.checkpoint(jax.vmap(march_tile))(*a), grouped
+    ).reshape(-1, 4, tile_size * tile_size)[:T_tiles]  # [T, 4, P]
+    img = out_tiles.reshape(nty, ntx, 4, tile_size, tile_size)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        4, nty * tile_size, ntx * tile_size
     )
-    return img[:H, :W]
+    return img[:, :H, :W]  # [4, H, W]
 
 
 def _to_tiles(img_hw: jnp.ndarray, ntx: int, nty: int, ts: int) -> jnp.ndarray:
@@ -483,8 +491,27 @@ def shadow_at_points(
     points: jnp.ndarray,      # [M, 3] (normalized frame)
     light_pos: jnp.ndarray,   # [3]
     n_steps: int = 32,
+    point_chunk: int = 131072,
 ) -> jnp.ndarray:
-    """Accumulated alpha (clamped to 1) from the light to each point: [M]."""
+    """Accumulated alpha (clamped to 1) from the light to each point: [M].
+
+    Chunked over points via lax.map when M > point_chunk: at hand scale the
+    teacher queries every prim voxel (4096 prims x 16x16x8 = 8.4M points) x
+    5 lights, and the unchunked [M, S, 3] sample/gather temps alone were a
+    21 GB allocation (the round-3 hand_teacher rung OOM). 128k-point chunks
+    bound the live set at ~50 MB while each chunk still fills the chip."""
+    M = points.shape[0]
+    if M > point_chunk:
+        pad = (-M) % point_chunk
+        pts = jnp.pad(points, ((0, pad), (0, 0)))
+        out = lax.map(
+            lambda p: _shadow_at_points_impl(density, p, light_pos, n_steps),
+            pts.reshape(-1, point_chunk, 3))
+        return out.reshape(-1)[:M]
+    return _shadow_at_points_impl(density, points, light_pos, n_steps)
+
+
+def _shadow_at_points_impl(density, points, light_pos, n_steps):
     from goliath_tpu.utils.sampling import grid_sample_3d
 
     d = points - light_pos[None]
@@ -505,3 +532,58 @@ def shadow_at_points(
     dens = grid_sample_3d(density[None], pos, padding_mode="zeros")[0]  # [M,S]
     acc = jnp.sum(dens, axis=-1) * (seg[:, 0] / n_steps)
     return jnp.clip(acc, 0.0, 1.0)
+
+
+def shadow_at_points_exact(
+    primpos: jnp.ndarray,     # [K, 3] (normalized volume frame)
+    primrot: jnp.ndarray,     # [K, 3, 3]
+    primscale: jnp.ndarray,   # [K, 3]
+    primalpha: jnp.ndarray,   # [K, Z, Y, X]
+    points: jnp.ndarray,      # [M, 3] (normalized frame)
+    light_pos: jnp.ndarray,   # [3]
+    n_steps: int = 64,
+    fadescale: float = 8.0,
+    fadeexp: float = 8.0,
+    point_chunk: int = 1024,
+) -> jnp.ndarray:
+    """Brute-force deep shadow: integrate the TRUE per-prim trilinear alpha
+    fields from the light to each point — the exact quantity the reference's
+    per-ray shadow-splat march accumulates
+    (reference extensions/mvpraymarch/primsplatter.h:14-38, clamped additive
+    accumulation as in primaccum.h:63-78) with no density-grid resampling.
+
+    O(K * M * n_steps) — a parity/validation oracle for the grid path
+    (splat_density_grid + shadow_at_points), usable only at study scale;
+    the production path amortizes the K-sum into one density grid.
+    Returns accumulated alpha clamped to 1, [M].
+    """
+    from goliath_tpu.utils.sampling import grid_sample_3d
+
+    M = points.shape[0]
+    pad = (-M) % point_chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+
+    def chunk_fn(p):  # [C, 3] -> [C]
+        d = p - light_pos[None]
+        dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        dirn = d / jnp.clip(dist, min=1e-8)
+        ts = dist * ((jnp.arange(n_steps, dtype=jnp.float32)[None] + 0.5)
+                     / n_steps)                               # [C, S]
+        pos = light_pos[None, None] + dirn[:, None] * ts[..., None]
+
+        def one_prim(acc, args):
+            pp, pr, ps, vol = args
+            y = jnp.einsum("ij,csi->csj", pr, pos - pp[None, None]) \
+                * ps[None, None]
+            a = grid_sample_3d(vol[None], y)[0]               # [C, S]
+            fade = jnp.exp(-fadescale * jnp.sum(jnp.abs(y) ** fadeexp, -1))
+            valid = jnp.all(jnp.abs(y) < 1.0, axis=-1)
+            return acc + a * fade * valid, None
+
+        dens, _ = lax.scan(one_prim, jnp.zeros(pos.shape[:2]),
+                           (primpos, primrot, primscale, primalpha))
+        acc = jnp.sum(dens, axis=-1) * (dist[:, 0] / n_steps)
+        return jnp.clip(acc, 0.0, 1.0)
+
+    out = lax.map(chunk_fn, pts.reshape(-1, point_chunk, 3))
+    return out.reshape(-1)[:M]

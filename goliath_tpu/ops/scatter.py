@@ -27,45 +27,66 @@ def indexed_add(indices: jnp.ndarray, values: jnp.ndarray,
                 ) -> jnp.ndarray:
     """sum values[i] into out[indices[i]]: [P] int32, [P, C] -> [N, C].
 
-    Equivalent to zeros((N, C)).at[indices].add(values) (out-of-range
-    indices are dropped), but sort-based on TPU WHEN the duplicate density
-    is low. Measured (v5e, 2.75M updates): into 1M texels the native
-    scatter-add costs ~370ms vs ~90ms sorted; into 7k vertices (~140x
-    duplicates) the native scatter is cheap and the sort-based path LOSES
-    ~100ms — dup-dense scatters apparently batch well on TPU. Heuristic:
-    sorted path only when each target receives < ~8 updates on average."""
-    P, C = values.shape
+    Row-major wrapper over indexed_add_cf — prefer the channel-first form
+    in new code: [P, C]/[N, C] arrays with small C pad their minor dim up
+    to 128 lanes on TPU (a [2.75M, 1] temp tiles to 1.4 GB), which is
+    exactly the OOM that killed the full-res mesh_vae rung in round 3."""
+    return indexed_add_cf(indices, values.T, num_segments,
+                          _force_sorted=_force_sorted).T
+
+
+def indexed_add_cf(indices: jnp.ndarray, values_cf: jnp.ndarray,
+                   num_segments: int, _force_sorted: bool = False
+                   ) -> jnp.ndarray:
+    """sum values_cf[:, i] into out[:, indices[i]]: [P] int32, [C, P] ->
+    [C, N] (out-of-range indices are dropped).
+
+    Channel-FIRST throughout: every intermediate is [P]-minor or [N]-minor
+    so nothing tile-pads by 128x. Sort-based on TPU WHEN the duplicate
+    density is low. Measured (v5e, 2.75M updates): into 1M texels the
+    native scatter-add costs ~370ms vs ~90ms sorted; into 7k vertices
+    (~140x duplicates) the native scatter is cheap and the sort-based path
+    LOSES ~100ms — dup-dense scatters apparently batch well on TPU.
+    Heuristic: sorted path only when each target receives < ~8 updates on
+    average."""
+    C, P = values_cf.shape
+    ok = (indices >= 0) & (indices < num_segments)
     use_sorted = (_force_sorted
                   or (target_backend() == "tpu"
                       and num_segments * 8 >= P))
     if not use_sorted:
-        ok = (indices >= 0) & (indices < num_segments)
         idx = jnp.where(ok, indices, 0)
-        vals = jnp.where(ok[:, None], values, 0.0)
-        return jnp.zeros((num_segments, C), values.dtype).at[idx].add(
+        vals = jnp.where(ok[None, :], values_cf, 0.0)
+        return jnp.zeros((C, num_segments), values_cf.dtype).at[:, idx].add(
             vals, mode="drop")
 
     from goliath_tpu.ops.binning import _cumsum1d
-    from goliath_tpu.ops.gsplat_pallas import cumsum_rows_pl
+    from goliath_tpu.ops.gsplat_pallas import cumsum_cols_pl
 
     interp = target_backend() != "tpu"
-    ok = (indices >= 0) & (indices < num_segments)
     key = jnp.where(ok, indices, num_segments).astype(jnp.int32)
-    vals = jnp.where(ok[:, None], values, 0.0).astype(jnp.float32)
-    ops = tuple(vals[:, i] for i in range(C))
+    vals = jnp.where(ok[None, :], values_cf, 0.0).astype(jnp.float32)
+    ops = tuple(vals[i] for i in range(C))
     out = jax.lax.sort((key,) + ops, num_keys=1, is_stable=False)
     key_s = out[0]
-    vals_s = jnp.stack(out[1:], axis=1)                     # [P, C]
-    csum = cumsum_rows_pl(vals_s, interpret=interp)         # [P, C]
+    # lane-dense per-column cumsums straight off the sort payloads: [C, P]
+    csum = cumsum_cols_pl(out[1:], interpret=interp)
     # ends[n] = #{i : key_s[i] <= n} via width-1 bincount + cumsum
     marks = jnp.zeros((num_segments,), jnp.int32).at[key_s].add(
         1, mode="drop")
     ends = _cumsum1d(marks)                                 # [N]
     bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), ends.astype(jnp.int32)])
-    bvals = jnp.where((bounds > 0)[:, None],
-                      csum[jnp.clip(bounds - 1, 0, P - 1)], 0.0)
-    return (bvals[1:] - bvals[:-1]).astype(values.dtype)    # [N, C]
+    # per-channel 1-D boundary gathers: a single [C, :]-indexed gather here
+    # lowers to an XLA row gather materializing [N+1, C] rows padded
+    # C -> 128 lanes (measured 42.7x / 8 GB at N = 2048^2, C = 3 in the
+    # mesh_vae full-res bwd); C separate [N+1]-from-[P] 1-D gathers stay
+    # lane-dense (the values_to_uv per-corner-gather lesson from round 2)
+    bidx = jnp.clip(bounds - 1, 0, P - 1)
+    pos = bounds > 0
+    bvals = jnp.stack(
+        [jnp.where(pos, csum[c][bidx], 0.0) for c in range(C)])  # [C, N+1]
+    return (bvals[:, 1:] - bvals[:, :-1]).astype(values_cf.dtype)  # [C, N]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
@@ -83,8 +104,8 @@ def _take_cols_bwd(res, g):
     idx, shape = res
     C, N = shape
     flat_idx = idx.reshape(-1)
-    flat_g = g.reshape(C, -1).T                             # [P, C]
-    d_table = indexed_add(flat_idx, flat_g, N).T            # [C, N]
+    flat_g = g.reshape(C, -1)                               # [C, P]
+    d_table = indexed_add_cf(flat_idx, flat_g, N)           # [C, N]
     return d_table, None
 
 

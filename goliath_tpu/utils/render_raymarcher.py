@@ -63,8 +63,16 @@ class Raymarcher:
                 template, K, Rt_n]
         if warp is not None:
             args.append(warp)
-        rgba = jax.vmap(one)(*args)  # [B, H, W, 4]
-        rayrgba = rgba.transpose(0, 3, 1, 2)
+        if raypos.shape[0] > 1:
+            # lax.map (not vmap) over the batch: the march's tile-group
+            # scan keeps ~GBs of live per-group sample temps, and vmap
+            # multiplies every one of them by B (b=4 at hand scale pushed
+            # the round-3 hand_mvp rung 11G over HBM even with the
+            # per-group remat). Each sample's march saturates the chip on
+            # its own, so serializing the batch costs ~nothing.
+            rayrgba = jax.lax.map(lambda a: one(*a), tuple(args))
+        else:
+            rayrgba = jax.vmap(one)(*args)  # [B, 4, H, W]
         rayrgb = rayrgba[:, :3]
         rayalpha = rayrgba[:, 3:4]
         return rayrgb, rayalpha, rayrgba, None

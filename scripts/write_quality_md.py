@@ -28,7 +28,7 @@ last = iters[-1]
 psnr = means.get("loss_psnr")
 ssim = 1.0 - float(means.get("loss_rgb_ssim", 1.0))
 
-out = f"""# Quality-parity evidence (round 3)
+out = f"""# Quality-parity evidence (round 4)
 
 Protocol = the reference eval (ca_code/scripts/run_test.py:49-77): train to
 convergence, then evaluate with the psnr metric injected, train-only losses

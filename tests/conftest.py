@@ -29,6 +29,31 @@ import pytest
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running test (full-res conv stacks etc.)")
+    config.addinivalue_line(
+        "markers",
+        "fast: <5-min smoke subset (run with -m fast); auto-applied to the "
+        "modules in _FAST_FILES below")
+
+
+# Modules whose whole-file runtime is small on this 1-core box (unit-level
+# oracles, no big-model compiles). Curated from a --durations=0 run; the
+# full suite is ~40-55 min, this subset must stay < 5 min total.
+_FAST_FILES = {
+    "test_core_utils.py",
+    "test_losses.py",
+    "test_scatter.py",
+    "test_shadowmap.py",
+    "test_native_zipio.py",
+    "test_dataloader.py",
+    "test_nn.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.fspath.basename in _FAST_FILES
+                and "slow" not in item.keywords):
+            item.add_marker(pytest.mark.fast)
 
 
 @pytest.fixture

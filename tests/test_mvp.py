@@ -59,7 +59,8 @@ def test_tiled_matches_oracle(rng):
         jnp.asarray(template), jnp.asarray(K_cam), jnp.asarray(Rt),
         max_steps=max_steps, max_prims_per_tile=16, chunk=8,
     )
-    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    ref_np = np.asarray(ref)
+    out_np = np.asarray(out).transpose(1, 2, 0)  # [4,H,W] -> [H,W,4]
     assert np.abs(ref_np[..., 3] - out_np[..., 3]).max() < 2e-3
     np.testing.assert_allclose(out_np, ref_np, atol=5e-3)
     assert ref_np[..., 3].max() > 0.5  # scene visible
@@ -77,7 +78,7 @@ def test_tiled_gradients(rng):
             jnp.asarray(K_cam), jnp.asarray(Rt),
             max_steps=60, max_prims_per_tile=8, chunk=4,
         )
-        return jnp.sum(out * w)
+        return jnp.sum(out * w.transpose(2, 0, 1))
 
     def loss_ref(pp, ps, tpl):
         out = mvp.march_reference(
@@ -118,6 +119,22 @@ def test_raymarcher_facade(rng):
     assert alpha.shape == (1, 1, 16, 16)
     assert float(alpha.max()) > 0.3
 
+    # B > 1 takes the lax.map-over-batch path (HBM fix at hand scale);
+    # identical inputs must give identical outputs to the vmap/B=1 path
+    def rep(x):
+        return jnp.repeat(x, 2, axis=0)
+
+    rgb2, alpha2, _, _ = rm(
+        rep(rp[None]), rep(rd[None]), rep(tminmax[None]),
+        {k: rep(v) for k, v in decout.items()},
+        rep(jnp.asarray(K_cam[None])), rep(jnp.asarray(Rt[None])),
+    )
+    assert rgb2.shape == (2, 3, 16, 16)
+    np.testing.assert_allclose(np.asarray(rgb2[0]), np.asarray(rgb[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb2[1]), np.asarray(rgb[0]),
+                               atol=1e-5)
+
 
 def test_tiled_warp_matches_oracle(rng):
     """Warp-field sampling (reference mvpraymarch.py:313-418 `warp`):
@@ -146,7 +163,8 @@ def test_tiled_warp_matches_oracle(rng):
         jnp.asarray(template), jnp.asarray(K_cam), jnp.asarray(Rt),
         max_steps=60, max_prims_per_tile=8, chunk=4, warp=warp,
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out).transpose(1, 2, 0),
+                               np.asarray(ref), atol=5e-3)
     # warp changes the image (vs no warp) and receives gradients
     out_nw = mvp.mvp_raymarch_tiled(
         rp, rd, stepsize, tminmax,
