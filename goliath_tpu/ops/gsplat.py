@@ -337,7 +337,8 @@ def _rasterize_fwd(xys, conics, opacities, colors, binning_arrays,
 
 def reduce_sorted_pair_grads(sorted_g, perm, prim_offsets, prim_ends):
     """Reduce per-pair grads (sorted-pair order [budget, F]) to per-prim sums
-    [N, F] without scatter-add: permute into pre-sort order where each prim's
+    returned CHANNEL-FIRST [F, N] (lane-dense; callers slice rows) without
+    scatter-add: permute into pre-sort order where each prim's
     pairs are contiguous (ONE unique-index row scatter at perm — the binning
     no longer materializes an inverse permutation), then per-prim sums are
     prefix-sum differences.
@@ -360,14 +361,18 @@ def reduce_sorted_pair_grads(sorted_g, perm, prim_offsets, prim_ends):
         from goliath_tpu.ops.gsplat_pallas import cumsum_cols_pl
 
         budget = sorted_g.shape[0]
-        csum = cumsum_cols_pl(out[1:]).T                     # [budget, F]
+        csum = cumsum_cols_pl(out[1:])                       # [F, budget]
         bounds = jnp.concatenate([prim_offsets, prim_ends[-1:]])
-        bvals = jnp.where(
-            (bounds > 0)[:, None],
-            csum[jnp.clip(bounds - 1, 0, budget - 1)], 0.0)  # [N+1, F]
-        return bvals[1:] - bvals[:-1]
+        bidx = jnp.clip(bounds - 1, 0, budget - 1)
+        pos = bounds > 0
+        # per-channel 1-D boundary gathers: a single row gather would
+        # materialize [N+1, F] rows padded F -> 128 lanes (12.8x at F=10,
+        # ~0.5 GB at N=1M); monotone 1-D gathers stay lane-dense
+        bvals = jnp.stack(
+            [jnp.where(pos, csum[c][bidx], 0.0) for c in range(F)])
+        return bvals[:, 1:] - bvals[:, :-1]                  # [F, N]
     presort_g = jnp.stack(out[1:], axis=1)                          # [budget, F]
-    return reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends)
+    return reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends).T
 
 
 def reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends):
@@ -495,10 +500,10 @@ def _rasterize_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk,
         flat_g, mode="drop", unique_indices=True)
     acc = reduce_sorted_pair_grads(sorted_g, perm, prim_offsets, prim_ends)
 
-    dxys = acc[:, 0:2]
-    dconics = acc[:, 2:5]
-    dopacities = acc[:, 5:6].reshape(opacities.shape)
-    dcolors = acc[:, 6:]
+    dxys = acc[0:2].T
+    dconics = acc[2:5].T
+    dopacities = acc[5].reshape(opacities.shape)
+    dcolors = acc[6:].T
     return (dxys, dconics, dopacities, dcolors, None)
 
 

@@ -166,47 +166,53 @@ def cumsum1d_pl(x: jnp.ndarray, rows: int = 512, lanes: int = 128,
     return out.reshape(-1)[:M]
 
 
-def _cumsum1d_batched_kernel(x_ref, out_ref, carry_scr, *, rows: int,
-                             lanes: int):
-    """Grid (F, nb): independent 1-D carry-cumsum per leading row, block
-    layout [1, 1, rows, lanes] (lane-dense — a [M, F] array with F ~ 10
-    pads its minor dim to 128, inflating every DMA ~13x)."""
-    b = pl.program_id(1)
+def _cumsum1d_batched_kernel(x_ref, out_ref, carry_scr, *, F: int,
+                             rows: int, lanes: int):
+    """Grid (nb,): F independent 1-D carry-cumsums per block, block layout
+    [F, 1, rows, lanes] (lane-dense — a [M, F] array with F ~ 10 pads its
+    minor dim to 128, inflating every HBM pass ~13x). All F columns ride
+    in ONE block: grid steps run sequentially on TPU and each step is
+    DMA-latency-bound, so an (F, nb) grid paid that latency F times
+    (measured 18 ms at F=10, M=2M — ~9 GB/s effective)."""
+    b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _():
-        carry_scr[:] = jnp.zeros((1, 1), jnp.float32)
+        carry_scr[:] = jnp.zeros((F, 1), jnp.float32)
 
-    x = x_ref[0, 0]                                      # [rows, lanes]
+    x = x_ref[:, 0]                                      # [F, rows, lanes]
+    x2 = x.reshape(F * rows, lanes)
     ones = jnp.ones((lanes, 1), jnp.float32)
-    rowsum = jax.lax.dot_general(
-        x, ones, (((1,), (0,)), ((), ())),
+    rowsum = jax.lax.dot_general(                        # [F, rows]
+        x2, ones, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
-    r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    c_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    tri_excl = (c_i < r_i).astype(jnp.float32)
-    row_pre = jax.lax.dot_general(
-        tri_excl, rowsum, (((1,), (0,)), ((), ())),
+    ).reshape(F, rows)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    tri_lt = (s_i < r_i).astype(jnp.float32)             # [s, r]: s < r
+    row_pre = jax.lax.dot_general(                       # [F, rows] excl.
+        rowsum, tri_lt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     l_i = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
     m_i = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
-    triR = (l_i <= m_i).astype(jnp.float32)
-    in_row = jax.lax.dot_general(
-        x, triR, (((1,), (0,)), ((), ())),
+    triR = (l_i <= m_i).astype(jnp.float32)              # inclusive in-row
+    in_row = jax.lax.dot_general(                        # [F*rows, lanes]
+        x2, triR, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
-    out_ref[0, 0] = in_row + row_pre + carry_scr[:]
-    carry_scr[:] = carry_scr[:] + row_pre[rows - 1:rows] \
-        + rowsum[rows - 1:rows]
+    ).reshape(F, rows, lanes)
+    out_ref[:, 0] = in_row + row_pre[:, :, None] + carry_scr[:][:, :, None]
+    carry_scr[:] = (carry_scr[:] + row_pre[:, rows - 1:rows]
+                    + rowsum[:, rows - 1:rows])
 
 
 def cumsum_cols_pl(cols, rows: int = 256, lanes: int = 128,
                    interpret: bool = False) -> jnp.ndarray:
+    # rows=512 at F=10 needs ~23 MB scoped VMEM (> the 16 MB limit):
+    # block in+out (2x F*rows*lanes*4) plus the reshaped x2/in_row temps.
     """Per-operand inclusive 1-D cumsums: cols is a sequence of F [M]
     arrays (e.g. lax.sort payload outputs); returns csum [F, M] f32.
 
@@ -222,14 +228,15 @@ def cumsum_cols_pl(cols, rows: int = 256, lanes: int = 128,
     nb = (M + pad) // blk
     xr = xp.reshape(F, nb, rows, lanes)
     out = pl.pallas_call(
-        functools.partial(_cumsum1d_batched_kernel, rows=rows, lanes=lanes),
-        grid=(F, nb),
-        in_specs=[pl.BlockSpec((1, 1, rows, lanes),
-                               lambda f, b: (f, b, 0, 0))],
-        out_specs=pl.BlockSpec((1, 1, rows, lanes),
-                               lambda f, b: (f, b, 0, 0)),
+        functools.partial(_cumsum1d_batched_kernel, F=F, rows=rows,
+                          lanes=lanes),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((F, 1, rows, lanes),
+                               lambda b: (0, b, 0, 0))],
+        out_specs=pl.BlockSpec((F, 1, rows, lanes),
+                               lambda b: (0, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(xr.shape, jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((F, 1), jnp.float32)],
         interpret=interpret,
     )(xr)
     return out.reshape(F, M + pad)[:, :M]
@@ -752,11 +759,11 @@ def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
     from goliath_tpu.ops.gsplat import reduce_sorted_pair_grads
 
     acc = reduce_sorted_pair_grads(sorted_g[:, :6 + C], perm,
-                                   prim_offsets, prim_ends)
-    dxys = acc[:, 0:2]
-    dconics = acc[:, 2:5]
-    dopacities = acc[:, 5:6].reshape(op_shape)
-    dcolors = acc[:, 6:]
+                                   prim_offsets, prim_ends)  # [F, N]
+    dxys = acc[0:2].T
+    dconics = acc[2:5].T
+    dopacities = acc[5].reshape(op_shape)
+    dcolors = acc[6:].T
     return (dxys, dconics, dopacities, dcolors, None)
 
 

@@ -12,9 +12,12 @@ Convention matches torch: `grid` is [..., 2] with (x, y) in [-1, 1],
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Literal
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
@@ -90,31 +93,53 @@ def _gather2d(image: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarr
     return g.reshape((B, C) + iy.shape[1:])
 
 
+@lru_cache(maxsize=64)
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """Static 1-D bilinear interpolation matrix [n_out, n_in] (2 taps/row)."""
+    if align_corners:
+        xs = np.linspace(0.0, n_in - 1.0, n_out, dtype=np.float64)
+    else:
+        xs = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    x0 = np.clip(np.floor(xs), 0, n_in - 1)
+    x1 = np.clip(x0 + 1, 0, n_in - 1)
+    w = np.clip(xs - x0, 0.0, 1.0)
+    m = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    m[rows, x0.astype(np.int64)] += (1.0 - w).astype(np.float32)
+    m[rows, x1.astype(np.int64)] += w.astype(np.float32)
+    return m
+
+
 def interpolate_bilinear(
     image: jnp.ndarray, scale_factor: float | None = None,
     size: tuple[int, int] | None = None, align_corners: bool = False,
 ) -> jnp.ndarray:
-    """F.interpolate(mode='bilinear') equivalent for [B, C, H, W]."""
+    """F.interpolate(mode='bilinear') equivalent for [B, C, H, W].
+
+    TPU formulation: separable static interpolation-matrix products
+    (out = My @ img @ Mx^T) instead of row/column gathers. Gather outputs
+    at UNet-ladder scale get awkward XLA layouts (observed: 3.2x-padded
+    640 MB remat copies in the hand_teacher OLAT UNet backward = a
+    reference-scale HBM OOM), and the gather adjoint is a serialized
+    scatter-add; the matmul form rides the MXU with a transposed-matmul
+    adjoint. HIGHEST precision keeps it exact in f32 (2-tap weights)."""
     B, C, H, W = image.shape
     if size is None:
         size = (int(H * scale_factor), int(W * scale_factor))
     Ho, Wo = size
-    ys = (jnp.arange(Ho, dtype=image.dtype) + 0.5) * (H / Ho) - 0.5
-    xs = (jnp.arange(Wo, dtype=image.dtype) + 0.5) * (W / Wo) - 0.5
-    if align_corners:
-        ys = jnp.linspace(0.0, H - 1.0, Ho, dtype=image.dtype)
-        xs = jnp.linspace(0.0, W - 1.0, Wo, dtype=image.dtype)
-    y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
-    x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
-    y1 = jnp.clip(y0 + 1, 0, H - 1)
-    x1 = jnp.clip(x0 + 1, 0, W - 1)
-    wy = jnp.clip(ys - y0, 0.0, 1.0)
-    wx = jnp.clip(xs - x0, 0.0, 1.0)
-    y0, x0, y1, x1 = (a.astype(jnp.int32) for a in (y0, x0, y1, x1))
-
-    top = image[:, :, y0][:, :, :, x0] * (1 - wx) + image[:, :, y0][:, :, :, x1] * wx
-    bot = image[:, :, y1][:, :, :, x0] * (1 - wx) + image[:, :, y1][:, :, :, x1] * wx
-    return top * (1 - wy[:, None]) + bot * wy[:, None]
+    if (Ho, Wo) == (H, W):
+        return image
+    prec = jax.lax.Precision.HIGHEST
+    out = image
+    if Ho != H:
+        my = jnp.asarray(_interp_matrix(H, Ho, align_corners),
+                         dtype=image.dtype)
+        out = jnp.einsum("oh,bchw->bcow", my, out, precision=prec)
+    if Wo != W:
+        mx = jnp.asarray(_interp_matrix(W, Wo, align_corners),
+                         dtype=image.dtype)
+        out = jnp.einsum("pw,bchw->bchp", mx, out, precision=prec)
+    return out
 
 
 def grid_sample_3d(

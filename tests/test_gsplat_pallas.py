@@ -251,5 +251,6 @@ def test_reduce_sorted_pair_grads_tpu_branch(rng, monkeypatch):
         lambda cols, **kw: real_ccp(cols, rows=8, interpret=True))
     out = gs.reduce_sorted_pair_grads(
         sorted_g, perm, jnp.asarray(offsets), jnp.asarray(ends))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+    # channel-first contract: [F, N]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref).T,
                                rtol=1e-4, atol=1e-3)
