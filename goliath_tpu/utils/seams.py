@@ -84,13 +84,25 @@ def _pad_zero_col(h: jnp.ndarray) -> jnp.ndarray:
         [jnp.zeros(h.shape[:-1] + (1,), h.dtype), h], axis=-1)
 
 
+def _take_last(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x [B, C, M] gathered along the last axis at idx [K] -> [B, C, K]
+    via per-(b, c) 1-D gathers. One batched gather here puts the (B, C)
+    offset dims in the minor tile — XLA materializes [K, B, C] padded
+    C -> 128 lanes (measured 42.7x / 8 GB at K = 2048^2, C = 3); separate
+    1-D gathers stay lane-dense."""
+    B, C, _ = x.shape
+    flat = x.reshape(B * C, -1)
+    return jnp.stack([flat[i][idx] for i in range(B * C)]).reshape(
+        B, C, idx.shape[0])
+
+
 def _ell_apply(h: jnp.ndarray, ell_idx: np.ndarray, ell_co: np.ndarray
                ) -> jnp.ndarray:
     """h [B, C, K] -> [B, C, K2]: out[..., j] = sum_m co[m, j] * h[..., idx-1]."""
     hp = _pad_zero_col(h)
     out = None
     for m in range(ell_idx.shape[0]):
-        term = hp[:, :, jnp.asarray(ell_idx[m])] * jnp.asarray(ell_co[m])
+        term = _take_last(hp, jnp.asarray(ell_idx[m])) * jnp.asarray(ell_co[m])
         out = term if out is None else out + term
     return out
 
@@ -108,14 +120,14 @@ def _make_stage(gather_delta, transpose_h, ell_idx, ell_co, inv, inv_b):
     @jax.custom_vjp
     def stage(x):
         delta = gather_delta(x)
-        return x + _pad_zero_col(delta)[:, :, inv_j].astype(x.dtype)
+        return x + _take_last(_pad_zero_col(delta), inv_j).astype(x.dtype)
 
     def fwd(x):
         return stage(x), None
 
     def bwd(_, g):
         corr = _ell_apply(transpose_h(g), ell_idx, ell_co)
-        return (g + _pad_zero_col(corr)[:, :, inv_bj].astype(g.dtype),)
+        return (g + _take_last(_pad_zero_col(corr), inv_bj).astype(g.dtype),)
 
     stage.defvjp(fwd, bwd)
     return stage
@@ -175,15 +187,15 @@ class SeamSampler:
         w_j = jnp.asarray(self._sel_w)                          # [Cw, K]
 
         def resample_delta(xf):                                 # [B, C, N]
-            cur = xf[:, :, sel_j]
+            cur = _take_last(xf, sel_j)
             res = None
             for idx_t, w_t in taps_j:
-                term = xf[:, :, idx_t] * w_t
+                term = _take_last(xf, idx_t) * w_t
                 res = term if res is None else res + term
             return w_j[None] * (res - cur)                      # [B, C, K]
 
         def resample_h(g):                                      # cotangent
-            return w_j[None] * g[:, :, sel_j]
+            return w_j[None] * _take_last(g, sel_j)
 
         self._resample_stage = _make_stage(
             resample_delta, resample_h, ell_idx_r, ell_co_r,
@@ -205,10 +217,10 @@ class SeamSampler:
         tgt_i, ell_idx_i, ell_co_i = _build_ell(q, k, c)
 
         def impaint_delta(xf):
-            return xf[:, :, src_j] - xf[:, :, dst_j]
+            return _take_last(xf, src_j) - _take_last(xf, dst_j)
 
         def impaint_h(g):
-            return g[:, :, dst_j]
+            return _take_last(g, dst_j)
 
         self._impaint_stage = _make_stage(
             impaint_delta, impaint_h, ell_idx_i, ell_co_i,
