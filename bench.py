@@ -257,6 +257,9 @@ def build_hand_mvp(img_h: int, img_w: int, uv: int, batch: int,
             os.environ.get("GOLIATH_BENCH_MVP_MPPT", 64)),
         "chunk": int(os.environ.get("GOLIATH_BENCH_MVP_CHUNK", 16)),
         "tile_group": int(os.environ.get("GOLIATH_BENCH_MVP_TILEGROUP", 32)),
+        # Sp window: exact while prim diameter <= Sp*dt (hand prims span
+        # ~4-8 steps at dt=2 — see ops/mvp.py window_steps docstring)
+        "window_steps": int(os.environ.get("GOLIATH_BENCH_MVP_WINDOW", 16)),
     }
     cls = HandTeacher if teacher else HandMVP
     model = cls(

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from goliath_tpu.ops.backend import target_backend
 from goliath_tpu.ops.binning import bin_to_tiles
 from goliath_tpu.utils.sampling import grid_sample_3d
 
@@ -54,27 +55,33 @@ def prim_world_aabb(primpos: jnp.ndarray, primrot: jnp.ndarray,
 
 
 class PackedVolume(NamedTuple):
-    """Channel-last x-pair-packed voxel rows for fast batched trilinear.
+    """CHANNEL-FIRST x-pair-packed voxel columns for batched trilinear.
 
-    rows[((k*D + z)*H + y)*W + x] = concat(vol[k, :, z, y, x],
-                                           vol[k, :, z, y, min(x+1, W-1)])
-    so one ROW gather fetches both x-corners of a trilinear tap: 4 row
-    gathers replace grid_sample_3d's 8 channel-first point gathers (TPU
-    gathers are latency-bound per row; channel-first minor-axis gathers
-    additionally tile-pad ~32x)."""
+    rows_cf[c,        ((k*D + z)*H + y)*W + x] = vol[k, c, z, y, x]
+    rows_cf[C + c,    ((k*D + z)*H + y)*W + x] = vol[k, c, z, y, min(x+1,
+                                                                     W-1)]
+    so one column gather (2C lane-dense 1-D gathers) fetches both
+    x-corners of a trilinear tap: 4 column gathers serve the 8 corners.
 
-    rows: jnp.ndarray  # [K*D*H*W, 2C]
+    Channel-first is load-bearing for the BACKWARD: a [K*D*H*W, 2C] table
+    (2C = 8 at hand scale) tile-pads its minor dim 16x -> 128 lanes, so
+    the table COTANGENT the march bwd accumulates became a ~4.3 GB buffer
+    at 4096x2048-voxel scale — which crashed the TPU worker outright
+    (both with the native scatter-add adjoint and with the sort-based
+    one). [2C, N] keeps the primal, the cotangent, and every gather
+    output lane-dense."""
+
+    rows_cf: jnp.ndarray  # [2C, K*D*H*W]
     shape: Tuple[int, int, int, int, int]  # (K, C, D, H, W)
 
 
 def pack_volume(vol: jnp.ndarray) -> PackedVolume:
     """[K, C, D, H, W] -> PackedVolume (2x memory, built once per call)."""
     K, C, D, H, W = vol.shape
-    r = vol.transpose(0, 2, 3, 4, 1)                     # [K, D, H, W, C]
-    nxt = jnp.concatenate([r[:, :, :, 1:], r[:, :, :, -1:]], axis=3)
-    return PackedVolume(
-        jnp.concatenate([r, nxt], -1).reshape(K * D * H * W, 2 * C),
-        (K, C, D, H, W))
+    nxt = jnp.concatenate([vol[..., 1:], vol[..., -1:]], axis=-1)
+    rows_cf = jnp.concatenate([vol, nxt], axis=1)        # [K, 2C, D, H, W]
+    rows_cf = rows_cf.transpose(1, 0, 2, 3, 4).reshape(2 * C, -1)
+    return PackedVolume(rows_cf, (K, C, D, H, W))
 
 
 def sample_packed(pv: PackedVolume, prim_ids: jnp.ndarray,
@@ -102,7 +109,18 @@ def sample_packed(pv: PackedVolume, prim_ids: jnp.ndarray,
     # trailing xyz axis when indexed)
     base = prim_ids.reshape(
         prim_ids.shape + (1,) * (y.ndim - 1 - prim_ids.ndim))
+
+    # Channel-first column gather: the native adjoint is a scatter-add
+    # into the SAME lane-dense [2C, N] layout. (A row-major [N, 2C] table
+    # pads its cotangent 16x -> ~4.3 GB at hand scale and crashed the TPU
+    # worker; the sort-based take_cols adjoint is crash-safe standalone
+    # but takes >15 min to COMPILE when instantiated per prim-chunk under
+    # the march's map/scan/cond/remat nesting.)
+    def fetch(ridx):
+        return pv.rows_cf[:, ridx.reshape(-1)]
+
     out = 0.0
+    flat_n = x.size
     for dz in (0, 1):
         zi = z0i + dz
         zv = (zi >= 0) & (zi < D)
@@ -113,12 +131,15 @@ def sample_packed(pv: PackedVolume, prim_ids: jnp.ndarray,
             yv = (yi >= 0) & (yi < H)
             yc = jnp.clip(yi, 0, H - 1)
             ridx = ((base * D + zc) * H + yc) * W + xc
-            r = pv.rows[ridx.reshape(-1)].reshape(ridx.shape + (2 * C,))
-            wyy = (wy if dy else 1 - wy) * wzz * (zv & yv)
-            v = (r[..., :C] * ((1 - wx) * xin0)[..., None]
-                 + r[..., C:] * (wx * xin1)[..., None])
-            out = out + v * wyy[..., None]
-    return out
+            r = fetch(ridx)                                  # [2C, n]
+            wyy = ((wy if dy else 1 - wy) * wzz
+                   * (zv & yv)).reshape(flat_n)
+            v = (r[:C] * ((1 - wx) * xin0).reshape(flat_n)[None]
+                 + r[C:] * (wx * xin1).reshape(flat_n)[None])
+            out = out + v * wyy[None]
+    # [C, n] -> [..., C] for the caller (fused transpose, not a
+    # materialized channel-last buffer on TPU)
+    return jnp.moveaxis(out.reshape((C,) + x.shape), 0, -1)
 
 
 def sample_prims(
@@ -134,9 +155,26 @@ def sample_prims(
     With a warp field, the template is sampled at the warped coordinate
     while the border fade and validity use the pre-warp coordinate
     (reference primsampler.h:44-67: fade from y0, template at yy1)."""
-    fade = jnp.exp(
-        -fadescale * jnp.sum(jnp.abs(y) ** fadeexp, axis=-1)
-    )
+    # |y|^fadeexp via repeated squaring for integer exponents: the generic
+    # pow lowers to ln+exp per element on the VPU — at T*M*P*S march taps
+    # that is billions of transcendentals (reference primsampler.h:44 uses
+    # powf, but CUDA SFUs make it ~free; the TPU VPU does not)
+    fe = float(fadeexp)
+    if fe == int(fe) and int(fe) >= 1:
+        n = int(fe)
+        base = jnp.abs(y)
+        acc = None
+        bit = base
+        while n:
+            if n & 1:
+                acc = bit if acc is None else acc * bit
+            n >>= 1
+            if n:
+                bit = bit * bit
+        powed = acc
+    else:
+        powed = jnp.abs(y) ** fadeexp
+    fade = jnp.exp(-fadescale * jnp.sum(powed, axis=-1))
     valid = jnp.all(jnp.abs(y) < 1.0, axis=-1)
     if warp is not None:
         wpv = warp if isinstance(warp, PackedVolume) else pack_volume(warp)
@@ -219,6 +257,16 @@ def _ray_box_span(raypos, raydir, pmin, pmax):
     return tmin, tmax
 
 
+def _ray_box_span_g(raypos, raydir, pmin, pmax):
+    """Grouped spans: rays [g,P,3] x boxes [g,M,3] -> ([g,M,P], [g,M,P])."""
+    inv = 1.0 / jnp.where(jnp.abs(raydir) < 1e-12, 1e-12, raydir)
+    t1 = (pmin[:, :, None] - raypos[:, None]) * inv[:, None]
+    t2 = (pmax[:, :, None] - raypos[:, None]) * inv[:, None]
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return tmin, tmax
+
+
 def mvp_raymarch_tiled(
     raypos: jnp.ndarray,      # [H, W, 3]
     raydir: jnp.ndarray,      # [H, W, 3]
@@ -241,12 +289,24 @@ def mvp_raymarch_tiled(
     termthresh: float = 0.99,
     warp: Optional[jnp.ndarray] = None,  # [K, 3, WD, WH, WW]
     tile_group: int = 64,
+    window_steps: Optional[int] = None,
 ) -> jnp.ndarray:
     """Tile-culled fixed-step MVP march. Returns rgba image [4, H, W].
 
     Rays and prims are in the *normalized* volume frame (the Raymarcher
     facade divides by volradius); K_cam/Rt_cam only drive screen-tile
     culling and must correspond to the rays.
+
+    `window_steps` (Sp): per-(prim, ray) sampling window. A prim only
+    contributes on grid steps inside its AABB span (`valid` zeroes taps
+    outside the oriented box, reference primsampler.h:44-67), so sampling
+    the Sp steps from the span entry is EXACT when the span fits, i.e.
+    when prim diameter <= Sp * stepsize (hand-scale prims span ~4-8 steps;
+    the default None = max_steps is always exact). Contributions land on
+    the same global step grid as the dense form via a one-hot deposit
+    einsum — per-tap row gathers are 98.5% of a dense march's runtime on
+    TPU, and the window cuts taps by S/Sp. When the span overflows Sp the
+    tail is dropped (documented deviation, like max_tiles_per_prim).
     """
     H, W = raypos.shape[:2]
     ntx = -(-W // tile_size)
@@ -298,19 +358,41 @@ def mvp_raymarch_tiled(
     if warp is not None:
         warp = pack_volume(warp)
 
-    def march_tile(start, end, rp, rd, tm):
-        # prim list for this tile (fixed max)
-        idxs = start + jnp.arange(max_prims_per_tile, dtype=jnp.int32)
-        pm = idxs < end
-        pids = binning.sorted_prim[jnp.clip(idxs, 0, budget - 1)]  # [M]
+    S = max_steps
+    Sp = S if window_steps is None else min(window_steps, S)
+    iota_S = jnp.arange(S, dtype=jnp.int32)
 
-        # per-ray span across the tile's prims
-        tmin_pk, tmax_pk = _ray_box_span(rp, rd, pmin[pids], pmax[pids])
-        hit = (tmax_pk > tmin_pk) & pm[:, None]
-        t_enter = jnp.min(jnp.where(hit, tmin_pk, jnp.inf), axis=0)  # [P]
-        t_exit = jnp.max(jnp.where(hit, tmax_pk, -jnp.inf), axis=0)
-        t_enter = jnp.maximum(t_enter, tm[:, 0])
-        t_exit = jnp.minimum(t_exit, tm[:, 1])
+    # ---- occupancy order: ascending pair count (one ~free in-graph sort).
+    # Empty tiles cluster into all-empty groups whose chunk lax.cond skips
+    # every tap; heavy tiles share groups with similarly-heavy tiles so the
+    # per-group chunk count matches the actual occupancy instead of the
+    # worst-case max_prims_per_tile. (The CUDA kernel gets the same effect
+    # from per-thread-block early exits, mvpraymarch_subset_kernel.h.)
+    counts = binning.tile_end - binning.tile_start            # [T]
+    T_tiles = counts.shape[0]
+    order = jnp.argsort(counts)
+    starts_s = binning.tile_start[order]
+    ends_s = binning.tile_end[order]
+    rp_s = jnp.take(rp_tiles, order, axis=0)
+    rd_s = jnp.take(rd_tiles, order, axis=0)
+    tm_s = jnp.take(tm_tiles, order, axis=0)
+
+    def march_group(starts, ends, rp_g, rd_g, tm_g):
+        # starts/ends [g]; rp_g/rd_g [g,P,3]; tm_g [g,P,2]
+        g_sz = starts.shape[0]
+        idxs = starts[:, None] + jnp.arange(
+            max_prims_per_tile, dtype=jnp.int32)                 # [g,M]
+        pm = idxs < ends[:, None]
+        pids = binning.sorted_prim[jnp.clip(idxs, 0, budget - 1)]
+
+        # per-ray span across each tile's prims (arithmetic only)
+        tmin_pk, tmax_pk = _ray_box_span_g(
+            rp_g, rd_g, pmin[pids], pmax[pids])                  # [g,M,P]
+        hit = (tmax_pk > tmin_pk) & pm[..., None]
+        t_enter = jnp.min(jnp.where(hit, tmin_pk, jnp.inf), axis=1)  # [g,P]
+        t_exit = jnp.max(jnp.where(hit, tmax_pk, -jnp.inf), axis=1)
+        t_enter = jnp.maximum(t_enter, tm_g[..., 0])
+        t_exit = jnp.minimum(t_exit, tm_g[..., 1])
         any_hit = jnp.isfinite(t_enter) & (t_exit > t_enter)
         t_enter = jnp.where(any_hit, t_enter, 0.0)
         t_exit = jnp.where(any_hit, t_exit, -1.0)
@@ -318,70 +400,110 @@ def mvp_raymarch_tiled(
         # align steps to the global tmin grid like the CUDA kernel
         # (mvpraymarch_subset_kernel.h:76-79) so sample positions match the
         # all-prims oracle exactly
-        t0 = tm[:, 0] + jnp.floor(
-            jnp.maximum(t_enter - tm[:, 0], 0.0) / stepsize
-        ) * stepsize
-        steps = t0[:, None] + stepsize * jnp.arange(
-            max_steps, dtype=jnp.float32
-        )[None]  # [P, S]
-        live = (steps <= t_exit[:, None] + 1e-5) & any_hit[:, None]
-        pos = rp[:, None] + rd[:, None] * steps[..., None]  # [P, S, 3]
+        t0 = tm_g[..., 0] + jnp.floor(
+            jnp.maximum(t_enter - tm_g[..., 0], 0.0) / stepsize
+        ) * stepsize                                             # [g,P]
+        steps_t = t0[..., None] + stepsize * jnp.arange(
+            S, dtype=jnp.float32)                                # [g,P,S]
+        live = (steps_t <= t_exit[..., None] + 1e-5) & any_hit[..., None]
 
-        def prim_chunk(carry, ci):
-            alpha_acc, rgbw_acc = carry  # [P, S], [P, S, 3]
-            cidx = start + ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            cm = cidx < end
-            cp = binning.sorted_prim[jnp.clip(cidx, 0, budget - 1)]  # [CH]
-            rel = pos[None] - primpos[cp][:, None, None]
-            y = jnp.einsum(
-                "kij,kpsi->kpsj", primrot[cp], rel
-            ) * primscale[cp][:, None, None]
-            s = sample_prims(
-                template, cp, y.reshape(chunk, -1, 3), fadescale, fadeexp,
-                warp=warp,
-            ).reshape(chunk, P, max_steps, 4)
-            a = s[..., 3] * cm[:, None, None]
-            alpha_acc = alpha_acc + jnp.sum(a, axis=0)
-            rgbw_acc = rgbw_acc + jnp.sum(s[..., :3] * a[..., None], axis=0)
-            return (alpha_acc, rgbw_acc), None
+        def chunk_body(carry, ci):
+            def do(c):
+                alpha_acc, rgbw_acc = c                # [g,P,S], [g,P,S,3]
+                cidx = starts[:, None] + ci * chunk + jnp.arange(
+                    chunk, dtype=jnp.int32)                      # [g,CH]
+                cm = cidx < ends[:, None]
+                cp = binning.sorted_prim[jnp.clip(cidx, 0, budget - 1)]
+                # chunk spans recomputed (cheaper than slicing the [g,M,P]
+                # prelude tensor with a dynamic index)
+                tmin_c, tmax_c = _ray_box_span_g(
+                    rp_g, rd_g, pmin[cp], pmax[cp])              # [g,CH,P]
+                ok = (tmax_c > tmin_c) & cm[..., None]
+                # first grid step inside the span; taps outside the AABB
+                # are exactly zero (valid mask), so the Sp window from here
+                # covers every contributing step when the span fits
+                s_lo = jnp.ceil(
+                    (tmin_c - t0[:, None, :]) / stepsize - 1e-5
+                ).astype(jnp.int32)
+                s_lo = jnp.clip(s_lo, 0, S - 1)                  # [g,CH,P]
+                sidx = s_lo[..., None] + jnp.arange(
+                    Sp, dtype=jnp.int32)                         # [g,CH,P,Sp]
+                tj = t0[:, None, :, None] + sidx * stepsize
+                msk = (ok[..., None] & (tj <= tmax_c[..., None] + 1e-5)
+                       & (sidx < S))
+                pos = (rp_g[:, None, :, None, :]
+                       + rd_g[:, None, :, None, :] * tj[..., None])
+                rel = pos - primpos[cp][:, :, None, None, :]
+                y = jnp.einsum(
+                    "gkij,gkpsi->gkpsj", primrot[cp], rel
+                ) * primscale[cp][:, :, None, None, :]
+                smp = sample_prims(
+                    template, cp.reshape(-1),
+                    y.reshape(g_sz * chunk, P * Sp, 3),
+                    fadescale, fadeexp, warp=warp,
+                ).reshape(g_sz, chunk, P, Sp, 4)
+                a = smp[..., 3] * msk
+                vals = jnp.concatenate(
+                    [smp[..., :3] * a[..., None], a[..., None]], axis=-1)
+                # deposit windows onto the step grid: one-hot at s_lo,
+                # contract the chunk axis on the MXU, then Sp static
+                # shift-adds place offset j at step s_lo + j. No scatters.
+                Z = (s_lo[..., None] == iota_S).astype(vals.dtype)
+                for j in range(Sp):
+                    dj = jnp.einsum(
+                        "gkps,gkpc->gpsc", Z, vals[:, :, :, j, :],
+                        precision=jax.lax.Precision.HIGHEST)
+                    if j:
+                        dj = jnp.pad(
+                            dj[:, :, : S - j],
+                            ((0, 0), (0, 0), (j, 0), (0, 0)))
+                    alpha_acc = alpha_acc + dj[..., 3]
+                    rgbw_acc = rgbw_acc + dj[..., :3]
+                return (alpha_acc, rgbw_acc)
 
-        init = (jnp.zeros((P, max_steps)), jnp.zeros((P, max_steps, 3)))
+            needed = jnp.any(ci * chunk < ends - starts)
+            carry = lax.cond(needed, do, lambda c: c, carry)
+            return carry, None
+
+        init = (jnp.zeros((g_sz, P, S)), jnp.zeros((g_sz, P, S, 3)))
+        import os as _os
+        _ckpt_chunk = _os.environ.get("GOLIATH_MVP_NO_CKPT", "0") != "1"
         (alpha, rgbw), _ = lax.scan(
-            jax.checkpoint(prim_chunk), init,
-            jnp.arange(nchunks, dtype=jnp.int32),
+            jax.checkpoint(chunk_body) if _ckpt_chunk else chunk_body,
+            init, jnp.arange(nchunks, dtype=jnp.int32),
         )
         alpha = alpha * live
         safe = jnp.where(alpha > 0, alpha, 1.0)
         rgb_mean = rgbw / safe[..., None]
-        out = jax.vmap(lambda r, a: accumulate_additive(r, a, stepsize))(
-            rgb_mean, alpha
-        )  # [P, 4]
+        out = jax.vmap(jax.vmap(
+            lambda r, a: accumulate_additive(r, a, stepsize)
+        ))(rgb_mean, alpha)  # [g,P,4]
         # channel-first so the stacked lax.map output (and its cotangent)
         # is [..., 4, P] — a [..., P, 4] stack tile-pads 4 -> 128 lanes
         # (5.25 GB at hand scale, part of the round-3 hand_mvp rung OOM)
-        return out.T  # [4, P]
+        return out.transpose(0, 2, 1)  # [g, 4, P]
 
-    # march tiles in groups of `tile_group` via lax.map (sequential scan):
-    # a flat vmap over all T tiles materializes the per-chunk sample tensor
-    # [T, chunk, P, S, 4] — ~86 GB at hand scale (10752 tiles) — while a
-    # group bounds live intermediates at tile_group x chunk x P x S x 4.
+    # march tile groups via lax.map (sequential scan): a flat vmap over all
+    # T tiles materializes the per-chunk sample tensor at once, while a
+    # group bounds live intermediates at tile_group x chunk x P x Sp x 4.
     # The group body is additionally rematerialized: without it AD saves
-    # each group's [P, S]-shaped march state as stacked lax.map residuals —
-    # [T, P, S, 4] = 22 GB at hand scale b=4, the round-3 hand_mvp rung OOM
-    # (f32[336,4,32,256,128,3] AllocateBuffer). Recomputing the march in
+    # each group's march state as stacked lax.map residuals (22 GB at hand
+    # scale b=4, the round-3 hand_mvp rung OOM). Recomputing the march in
     # the bwd trades ~2x march FLOPs for O(T*P*4) residuals.
-    T_tiles = binning.tile_start.shape[0]
     g = min(tile_group, T_tiles)
     t_pad = (-T_tiles) % g
     def _padt(x):
         return jnp.pad(x, ((0, t_pad),) + ((0, 0),) * (x.ndim - 1))
     grouped = tuple(
         _padt(x).reshape((T_tiles + t_pad) // g, g, *x.shape[1:])
-        for x in (binning.tile_start, binning.tile_end, rp_tiles, rd_tiles,
-                  tm_tiles))
-    out_tiles = lax.map(
-        lambda a: jax.checkpoint(jax.vmap(march_tile))(*a), grouped
+        for x in (starts_s, ends_s, rp_s, rd_s, tm_s))
+    import os as _os
+    _ckpt_grp = _os.environ.get("GOLIATH_MVP_NO_GRP_CKPT", "0") != "1"
+    out_sorted = lax.map(
+        (lambda a: jax.checkpoint(march_group)(*a)) if _ckpt_grp
+        else (lambda a: march_group(*a)), grouped
     ).reshape(-1, 4, tile_size * tile_size)[:T_tiles]  # [T, 4, P]
+    out_tiles = jnp.take(out_sorted, jnp.argsort(order), axis=0)
     img = out_tiles.reshape(nty, ntx, 4, tile_size, tile_size)
     img = img.transpose(2, 0, 3, 1, 4).reshape(
         4, nty * tile_size, ntx * tile_size

@@ -110,3 +110,31 @@ def _take_cols_bwd(res, g):
 
 
 take_cols.defvjp(_take_cols_fwd, _take_cols_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table [N, C] gathered at idx [...] -> [..., C]. Row-major twin of
+    take_cols: keeps the latency-optimal ROW gather in the forward (the
+    MVP march packs trilinear corner pairs into rows precisely so one row
+    gather replaces channel-first point gathers) while routing the table
+    adjoint through the sort-based indexed_add_cf — the native gather
+    adjoint is a scatter-add that crashes the TPU worker outright at
+    2048x1334 hand scale (march bwd with template grads)."""
+    return table[idx]
+
+
+def _take_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+def _take_rows_bwd(res, g):
+    idx, shape = res
+    N, C = shape
+    flat_idx = idx.reshape(-1)
+    flat_g = g.reshape(-1, C)                               # [P, C]
+    d_cf = indexed_add_cf(flat_idx, flat_g.T, N)            # [C, N]
+    return d_cf.T, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)

@@ -66,6 +66,58 @@ def test_tiled_matches_oracle(rng):
     assert ref_np[..., 3].max() > 0.5  # scene visible
 
 
+def test_tiled_window_matches_oracle(rng):
+    """window_steps (Sp) sampling is exact when every prim's AABB span
+    fits in Sp grid steps: taps outside the oriented box are zeroed by the
+    valid mask, so the window only skips exact zeros."""
+    primpos, primrot, primscale, template = _scene(rng)
+    rp, rd, tminmax, K_cam, Rt = _rays()
+    H, W = rp.shape[:2]
+    stepsize = 0.05
+    # span bound: prim extent 2/scale_min = 1.0 per axis, diag sqrt(3)
+    # => <= ~35 steps; Sp=48 covers it
+    ref = mvp.march_reference(
+        rp.reshape(-1, 3), rd.reshape(-1, 3), stepsize,
+        tminmax.reshape(-1, 2),
+        jnp.asarray(primpos), jnp.asarray(primrot), jnp.asarray(primscale),
+        jnp.asarray(template), 100,
+    ).reshape(H, W, 4)
+    out = mvp.mvp_raymarch_tiled(
+        rp, rd, stepsize, tminmax,
+        jnp.asarray(primpos), jnp.asarray(primrot), jnp.asarray(primscale),
+        jnp.asarray(template), jnp.asarray(K_cam), jnp.asarray(Rt),
+        max_steps=100, max_prims_per_tile=16, chunk=8, window_steps=48,
+    )
+    np.testing.assert_allclose(np.asarray(out).transpose(1, 2, 0),
+                               np.asarray(ref), atol=5e-3)
+
+    # windowed gradients against the oracle
+    w = jnp.asarray(rng.rand(H, W, 4).astype(np.float32))
+
+    def loss_win(tpl):
+        o = mvp.mvp_raymarch_tiled(
+            rp, rd, stepsize, tminmax, jnp.asarray(primpos),
+            jnp.asarray(primrot), jnp.asarray(primscale), tpl,
+            jnp.asarray(K_cam), jnp.asarray(Rt),
+            max_steps=100, max_prims_per_tile=16, chunk=8, window_steps=48,
+        )
+        return jnp.sum(o * w.transpose(2, 0, 1))
+
+    def loss_ref(tpl):
+        o = mvp.march_reference(
+            rp.reshape(-1, 3), rd.reshape(-1, 3), stepsize,
+            tminmax.reshape(-1, 2), jnp.asarray(primpos),
+            jnp.asarray(primrot), jnp.asarray(primscale), tpl, 100,
+        ).reshape(H, W, 4)
+        return jnp.sum(o * w)
+
+    tpl = jnp.asarray(template)
+    gw = np.asarray(jax.grad(loss_win)(tpl))
+    gr = np.asarray(jax.grad(loss_ref)(tpl))
+    scale = np.abs(gr).max() + 1e-6
+    np.testing.assert_allclose(gw / scale, gr / scale, atol=2e-3)
+
+
 def test_tiled_gradients(rng):
     primpos, primrot, primscale, template = _scene(rng, K=6)
     rp, rd, tminmax, K_cam, Rt = _rays(16, 16)
