@@ -444,15 +444,17 @@ def main():
     # (the driver parses the last line).
     # fields: (model, h, w, uv, batch, pallas+flags, rung timeout s)
     primary = [
-        ("rgca", 512, 512, 256, 1, pal, 700),               # banker
-        ("rgca", img_h, img_w, uv, 1, pal + "noremat", 900),   # known-good
-        ("rgca", img_h, img_w, uv, batch, pal + "noremat", 1100),  # best
+        ("rgca", 512, 512, 256, 1, pal, 600),               # banker
+        ("rgca", img_h, img_w, uv, batch, pal + "noremat", 900),  # best
+        ("rgca", img_h, img_w, uv, 1, pal + "noremat", 700),   # known-good
     ]
+    # hand_mvp LAST: its r4 failure crashed the TPU worker, which can take
+    # the tunnel down for every rung scheduled after it.
     extras = [
-        ("urhand", img_h, img_w, uv, 1, pal, 800),
-        ("mesh_vae", img_h, img_w, uv, batch, pal, 800),
-        ("hand_mvp", img_h, img_w, uv, batch, pal, 800),
-        ("hand_teacher", img_h, img_w, uv, 1, pal, 800),
+        ("urhand", img_h, img_w, uv, 1, pal, 700),
+        ("hand_teacher", img_h, img_w, uv, 1, pal, 700),
+        ("mesh_vae", img_h, img_w, uv, batch, pal, 700),
+        ("hand_mvp", img_h, img_w, uv, batch, pal, 700),
     ]
     fallbacks = [
         ("rgca", img_h, img_w, uv, batch, pal, 1100),       # remat b=4
@@ -463,7 +465,7 @@ def main():
         fallbacks.append(("rgca", img_h // 2, img_w // 2, uv, 1, "0", 900))
 
     deadline = time.time() + float(
-        os.environ.get("GOLIATH_BENCH_DEADLINE", 2950))
+        os.environ.get("GOLIATH_BENCH_DEADLINE", 2400))
 
     # a failed attempt (OOM) can leave device memory pinned in this process,
     # cascading OOM into every smaller rung — run each rung in a fresh
@@ -565,11 +567,23 @@ def main():
             (r.stderr or "") + "\n" + (r.stdout or ""),
             f"rung_{mdl}_b{b}_{h}x{w}_uv{u}_pl{pl or 'x'}.stderr")
 
+    def reprint_headline() -> None:
+        # Timeout-proofing (VERDICT r4 item 2): the driver parses the LAST
+        # stdout line, and it may SIGKILL this process at any moment
+        # (rc=124 in r1/r2/r4 banked whatever rung happened to print last).
+        # Re-print the current best RGCA line after EVERY rung so the last
+        # line is always the headline no matter where the kill lands.
+        rb = best.get("rgca_train_step_time")
+        if rb is not None:
+            print(rb[1], flush=True)
+
     for spec in primary:
         attempt(spec)
+        reprint_headline()
     if not rgca_fullres_ok:
         for spec in fallbacks:
             attempt(spec)
+            reprint_headline()
     for spec in extras:
         # leave headroom so a hung extra rung cannot eat the final print
         if deadline - time.time() < 240:
@@ -577,6 +591,7 @@ def main():
                   file=sys.stderr)
             break
         attempt(spec)
+        reprint_headline()
 
     rgca_best = best.get("rgca_train_step_time")
     if rgca_best is not None:
