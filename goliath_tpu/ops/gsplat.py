@@ -364,12 +364,14 @@ def reduce_sorted_pair_grads(sorted_g, perm, prim_offsets, prim_ends):
         csum = cumsum_cols_pl(out[1:])                       # [F, budget]
         bounds = jnp.concatenate([prim_offsets, prim_ends[-1:]])
         bidx = jnp.clip(bounds - 1, 0, budget - 1)
-        pos = bounds > 0
-        # per-channel 1-D boundary gathers: a single row gather would
-        # materialize [N+1, F] rows padded F -> 128 lanes (12.8x at F=10,
-        # ~0.5 GB at N=1M); monotone 1-D gathers stay lane-dense
-        bvals = jnp.stack(
-            [jnp.where(pos, csum[c][bidx], 0.0) for c in range(F)])
+        # ONE lane-axis gather of the channel-first csum: [F, budget]
+        # taken along axis=1 stays lane-dense AND single-pass. Measured at
+        # budget=2M/F=10/N=1M (scripts/probe_reduce_r5.py): 18ms, vs 161ms
+        # for F separate 1-D gathers (each is latency-bound on its own —
+        # the r4 form that caused the BENCH_r04 RGCA regression) and 18ms
+        # for the r3 row-gather of [N+1, F] (12.8x lane-padded).
+        bvals = jnp.where((bounds > 0)[None, :],
+                          jnp.take(csum, bidx, axis=1), 0.0)  # [F, N+1]
         return bvals[:, 1:] - bvals[:, :-1]                  # [F, N]
     presort_g = jnp.stack(out[1:], axis=1)                          # [budget, F]
     return reduce_presort_pair_grads(presort_g, prim_offsets, prim_ends).T

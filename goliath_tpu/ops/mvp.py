@@ -29,6 +29,7 @@ TPU-first redesign — no per-ray BVH stacks:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -39,6 +40,14 @@ from jax import lax
 from goliath_tpu.ops.backend import target_backend
 from goliath_tpu.ops.binning import bin_to_tiles
 from goliath_tpu.utils.sampling import grid_sample_3d
+
+# Remat ablation knobs, read ONCE at import (they are baked into the traced
+# graph anyway — reading os.environ inside the op made flipping them after
+# the first trace a silent no-op; ADVICE r4 #4). Both default ON: without
+# checkpointing, AD stacks every march chunk / tile group as lax residuals
+# (22 GB at hand scale — the round-3 hand_mvp OOM).
+CKPT_CHUNK = os.environ.get("GOLIATH_MVP_NO_CKPT", "0") != "1"
+CKPT_GROUP = os.environ.get("GOLIATH_MVP_NO_GRP_CKPT", "0") != "1"
 
 
 def prim_world_aabb(primpos: jnp.ndarray, primrot: jnp.ndarray,
@@ -466,10 +475,8 @@ def mvp_raymarch_tiled(
             return carry, None
 
         init = (jnp.zeros((g_sz, P, S)), jnp.zeros((g_sz, P, S, 3)))
-        import os as _os
-        _ckpt_chunk = _os.environ.get("GOLIATH_MVP_NO_CKPT", "0") != "1"
         (alpha, rgbw), _ = lax.scan(
-            jax.checkpoint(chunk_body) if _ckpt_chunk else chunk_body,
+            jax.checkpoint(chunk_body) if CKPT_CHUNK else chunk_body,
             init, jnp.arange(nchunks, dtype=jnp.int32),
         )
         alpha = alpha * live
@@ -497,10 +504,8 @@ def mvp_raymarch_tiled(
     grouped = tuple(
         _padt(x).reshape((T_tiles + t_pad) // g, g, *x.shape[1:])
         for x in (starts_s, ends_s, rp_s, rd_s, tm_s))
-    import os as _os
-    _ckpt_grp = _os.environ.get("GOLIATH_MVP_NO_GRP_CKPT", "0") != "1"
     out_sorted = lax.map(
-        (lambda a: jax.checkpoint(march_group)(*a)) if _ckpt_grp
+        (lambda a: jax.checkpoint(march_group)(*a)) if CKPT_GROUP
         else (lambda a: march_group(*a)), grouped
     ).reshape(-1, 4, tile_size * tile_size)[:T_tiles]  # [T, 4, P]
     out_tiles = jnp.take(out_sorted, jnp.argsort(order), axis=0)

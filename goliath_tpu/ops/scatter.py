@@ -8,8 +8,8 @@ measured fast in-graph on this chip: lax.sort (~2ms + ~2.6ms per payload
 column at 2M), a width-1 int scatter-add (~10ms), the single-pass Pallas
 carry cumsums, and monotone-index gathers.
 
-`take_cols` / `take_rows` are drop-in gathers whose custom VJPs route the
-adjoint through `indexed_add`.
+`take_cols` is a drop-in gather whose custom VJP routes the adjoint
+through `indexed_add_cf`.
 """
 
 from __future__ import annotations
@@ -77,15 +77,15 @@ def indexed_add_cf(indices: jnp.ndarray, values_cf: jnp.ndarray,
     ends = _cumsum1d(marks)                                 # [N]
     bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), ends.astype(jnp.int32)])
-    # per-channel 1-D boundary gathers: a single [C, :]-indexed gather here
-    # lowers to an XLA row gather materializing [N+1, C] rows padded
-    # C -> 128 lanes (measured 42.7x / 8 GB at N = 2048^2, C = 3 in the
-    # mesh_vae full-res bwd); C separate [N+1]-from-[P] 1-D gathers stay
-    # lane-dense (the values_to_uv per-corner-gather lesson from round 2)
+    # ONE lane-axis gather of the channel-first csum ([C, P] taken along
+    # axis=1 -> [C, N+1]): lane-dense AND single-pass. A ROW gather of a
+    # [P, C] csum materializes [N+1, C] padded C -> 128 lanes (42.7x /
+    # 8 GB at N = 2048^2, C = 3 — the r3 mesh_vae OOM), while C separate
+    # 1-D gathers are each latency-bound (~16ms apiece at N=1M — the
+    # BENCH_r04 RGCA regression; scripts/probe_reduce_r5.py).
     bidx = jnp.clip(bounds - 1, 0, P - 1)
-    pos = bounds > 0
-    bvals = jnp.stack(
-        [jnp.where(pos, csum[c][bidx], 0.0) for c in range(C)])  # [C, N+1]
+    bvals = jnp.where((bounds > 0)[None, :],
+                      jnp.take(csum, bidx, axis=1), 0.0)       # [C, N+1]
     return (bvals[:, 1:] - bvals[:, :-1]).astype(values_cf.dtype)  # [C, N]
 
 
@@ -110,31 +110,3 @@ def _take_cols_bwd(res, g):
 
 
 take_cols.defvjp(_take_cols_fwd, _take_cols_bwd)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=())
-def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table [N, C] gathered at idx [...] -> [..., C]. Row-major twin of
-    take_cols: keeps the latency-optimal ROW gather in the forward (the
-    MVP march packs trilinear corner pairs into rows precisely so one row
-    gather replaces channel-first point gathers) while routing the table
-    adjoint through the sort-based indexed_add_cf — the native gather
-    adjoint is a scatter-add that crashes the TPU worker outright at
-    2048x1334 hand scale (march bwd with template grads)."""
-    return table[idx]
-
-
-def _take_rows_fwd(table, idx):
-    return table[idx], (idx, table.shape)
-
-
-def _take_rows_bwd(res, g):
-    idx, shape = res
-    N, C = shape
-    flat_idx = idx.reshape(-1)
-    flat_g = g.reshape(-1, C)                               # [P, C]
-    d_cf = indexed_add_cf(flat_idx, flat_g.T, N)            # [C, N]
-    return d_cf.T, None
-
-
-take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)

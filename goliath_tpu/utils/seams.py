@@ -86,14 +86,15 @@ def _pad_zero_col(h: jnp.ndarray) -> jnp.ndarray:
 
 def _take_last(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """x [B, C, M] gathered along the last axis at idx [K] -> [B, C, K]
-    via per-(b, c) 1-D gathers. One batched gather here puts the (B, C)
-    offset dims in the minor tile — XLA materializes [K, B, C] padded
-    C -> 128 lanes (measured 42.7x / 8 GB at K = 2048^2, C = 3); separate
-    1-D gathers stay lane-dense."""
+    via ONE lane-axis gather (jnp.take axis=-1 keeps K in the minor tile,
+    lane-dense and single-pass). The advanced-indexing form x[:, :, idx]
+    puts the (B, C) offset dims in the minor tile — XLA materializes
+    [K, B, C] padded C -> 128 lanes (measured 42.7x / 8 GB at K = 2048^2,
+    C = 3) — and per-(b, c) 1-D gather loops pay full gather latency B*C
+    times (scripts/probe_reduce_r5.py: ~16ms per 1M-element gather)."""
     B, C, _ = x.shape
     flat = x.reshape(B * C, -1)
-    return jnp.stack([flat[i][idx] for i in range(B * C)]).reshape(
-        B, C, idx.shape[0])
+    return jnp.take(flat, idx, axis=1).reshape(B, C, idx.shape[0])
 
 
 def _ell_apply(h: jnp.ndarray, ell_idx: np.ndarray, ell_co: np.ndarray

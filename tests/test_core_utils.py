@@ -258,3 +258,56 @@ def test_seam_sampler_sparse_matches_dense():
     ref = np.asarray(sm.resample_tex(tex, jnp.asarray(uvs),
                                      jnp.asarray(weights)))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def _seam_fixture(rng, H=16, n_copy=6):
+    """Seam data with a nonzero-weight band AND dst<-src copies, including
+    DUPLICATE dst entries (scatter-set keeps the last occurrence)."""
+    uvs = rng.rand(H, H, 2).astype(np.float32)
+    weights = np.zeros((1, H, H), np.float32)
+    band = rng.rand(H, H) < 0.15
+    weights[0, band] = rng.rand(band.sum()).astype(np.float32)
+    dst = rng.randint(0, H, (n_copy, 2)).astype(np.int64)
+    dst[1] = dst[0]  # duplicate dst: last write wins
+    src = rng.randint(0, H, (n_copy, 2)).astype(np.int64)
+    return {"dst_ij": dst, "src_ij": src, "uvs": uvs, "weights": weights}
+
+
+def test_seam_impaint_sparse_matches_dense():
+    from goliath_tpu.utils import seams as sm
+
+    rng = np.random.RandomState(1)
+    data = _seam_fixture(rng)
+    s = sm.SeamSampler(data)
+    tex = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    got = np.asarray(s.impaint(tex))
+    ref = np.asarray(sm.impaint_batch(
+        tex, jnp.asarray(data["dst_ij"]), jnp.asarray(data["src_ij"])))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_seam_stage_grads_match_dense():
+    """The hand-written ELL custom_vjp transposes (resample + impaint)
+    vs jax.grad through the dense oracles (ADVICE r4 #1)."""
+    from goliath_tpu.utils import seams as sm
+
+    rng = np.random.RandomState(2)
+    data = _seam_fixture(rng)
+    s = sm.SeamSampler(data)
+    tex = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    cot = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    uvs_j, w_j = jnp.asarray(data["uvs"]), jnp.asarray(data["weights"])
+    dst_j, src_j = jnp.asarray(data["dst_ij"]), jnp.asarray(data["src_ij"])
+
+    pairs = [
+        (s.resample, lambda t: sm.resample_tex(t, uvs_j, w_j)),
+        (s.impaint, lambda t: sm.impaint_batch(t, dst_j, src_j)),
+        (lambda t: s(t),
+         lambda t: sm.resample_tex(sm.impaint_batch(t, dst_j, src_j),
+                                   uvs_j, w_j)),
+    ]
+    for sparse_fn, dense_fn in pairs:
+        g_sp = jax.grad(lambda t: jnp.vdot(sparse_fn(t), cot))(tex)
+        g_dn = jax.grad(lambda t: jnp.vdot(dense_fn(t), cot))(tex)
+        np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_dn),
+                                   rtol=1e-4, atol=1e-4)
