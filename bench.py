@@ -353,11 +353,30 @@ def run(img_h, img_w, uv, batch, n_steps):
 
     rng = jax.random.PRNGKey(0)
     it0 = jnp.asarray(0)
+
     t0 = time.time()
     params, opt_state, total = step(params, opt_state, jb, rng, it0)
     _ = float(total)  # host fetch: block_until_ready can be a no-op over
     compile_s = time.time() - t0  # the axon tunnel's async dispatch
     phase("first step done")
+
+    # Roofline accounting (VERDICT r4 item 7): post-optimization HLO flops
+    # + bytes from the COMPILED executable (lowered.cost_analysis() returns
+    # None on the axon backend). Done after the first step so the AOT
+    # compile below is a persistent-cache hit; lower() only reads avals,
+    # so the donated-buffer rebinding above is safe.
+    step_flops = step_bytes = None
+    if os.environ.get("GOLIATH_BENCH_MFU", "1") == "1":
+        try:
+            ca = step.lower(params, opt_state, jb, rng,
+                            it0).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            step_flops = float(ca.get("flops", 0.0)) or None
+            step_bytes = float(ca.get("bytes accessed", 0.0)) or None
+            phase("cost analysis done")
+        except Exception as e:  # never let accounting kill a rung
+            print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
 
     # Best-of-3 chained timing: each repetition runs n_steps back-to-back
     # (pipelined dispatch, ONE host fetch at the end — a per-step fetch
@@ -375,11 +394,17 @@ def run(img_h, img_w, uv, batch, n_steps):
             )
         _ = float(total)
         times.append((time.time() - t1) / n_steps)
-    return min(times), compile_s, float(total)
+    return min(times), compile_s, float(total), step_flops, step_bytes
+
+
+# TPU v5e (v5 lite) single-chip peaks, for roofline accounting:
+V5E_PEAK_BF16_FLOPS = 197e12  # MXU bf16
+V5E_HBM_BYTES_PER_S = 819e9
 
 
 def run_single(h, w, u, b, n_steps):
-    step_s, compile_s, _loss = run(h, w, u, b, n_steps)
+    step_s, compile_s, _loss, step_flops, step_bytes = run(
+        h, w, u, b, n_steps)
     name = os.environ.get("GOLIATH_BENCH_MODEL", "") or "rgca"
     metric, baseline, ref_batch = MODEL_BASELINES[name]
     # normalize to the reference workload (reference batch, 2048x1334,
@@ -388,12 +413,20 @@ def run_single(h, w, u, b, n_steps):
         * ((u * u) / (1024 * 1024))
     eff = (1.0 / step_s) * work_ratio
     detail = f"{u*u} gaussians" if name == "rgca" else f"uv={u}"
+    mfu = ""
+    if step_flops:
+        pct = 100.0 * step_flops / step_s / V5E_PEAK_BF16_FLOPS
+        mfu = (f", {step_flops / 1e12:.2f} TFLOP/step -> "
+               f"MFU {pct:.1f}% of v5e bf16 peak")
+    if step_bytes:
+        bw = 100.0 * step_bytes / step_s / V5E_HBM_BYTES_PER_S
+        mfu += f", HBM {step_bytes / 1e9:.0f} GB/step -> {bw:.0f}% BW"
     print(json.dumps({
         "metric": metric,
         "value": round(step_s, 4),
         "unit": f"s/step (batch={b}, {h}x{w}, {detail}; "
                 f"compile={compile_s:.1f}s, "
-                f"workload-normalized {eff:.3f} ref-steps/s)",
+                f"workload-normalized {eff:.3f} ref-steps/s{mfu})",
         "vs_baseline": round(eff / baseline, 3),
     }))
 

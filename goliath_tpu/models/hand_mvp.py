@@ -163,6 +163,16 @@ class GeomDecoder(nn.Module):
         primrotbase = jnp.stack(tbn, axis=-2).reshape(
             B, self.n_prims, 3, 3
         ).transpose(0, 1, 3, 2)
+        # Uncovered/collapsed UV texels give exactly-zero (or singular) TBNs
+        # -> zero-volume prims whose AABB the tile-culled march can never
+        # bin, while y = primscale * R^T(x - p) = 0 marks every sample
+        # "inside" (an un-cullable prim that paints its center texel along
+        # entire rays). Fall back to identity orientation for any
+        # non-invertible frame; real orthonormal TBNs have |det| = 1.
+        det = jnp.linalg.det(primrotbase)[..., None, None]
+        primrotbase = jnp.where(
+            jnp.abs(det) < 0.5,
+            jnp.eye(3, dtype=primrotbase.dtype), primrotbase)
         primposbase = jax.lax.stop_gradient(primposbase)
         primrotbase = jax.lax.stop_gradient(primrotbase)
 
@@ -317,6 +327,9 @@ class _HandMVPNet(nn.Module):
             "valid_prims": jnp.asarray(np.asarray(self.valid_prims)),
         }
         rgb, alpha, _, _ = rm(raypos, raydir, tminmax, decout, K, Rt)
+        # observability for the Sp sampling window (ADVICE r4 #3): fraction
+        # of prims whose span outgrew the exactness bound this step
+        preds["mvp_window_overflow"] = rm.window_overflow(decout)
 
         cal = CalV5(name="cal", **dict(self.cal_cfg)) if self.cal_cfg else None
         if cal is not None and camera_idx is not None:

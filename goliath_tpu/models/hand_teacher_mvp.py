@@ -315,6 +315,7 @@ class _HandTeacherNet(base._HandMVPNet):
             "valid_prims": jnp.asarray(np.asarray(self.valid_prims)),
         }
         rgb, alpha, _, _ = rm(raypos, raydir, tminmax, decout, K, Rt)
+        preds["mvp_window_overflow"] = rm.window_overflow(decout)
 
         cal = CalV5(name="cal", **dict(self.cal_cfg)) if self.cal_cfg else None
         if cal is not None and camera_idx is not None:

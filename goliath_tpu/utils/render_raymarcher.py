@@ -76,3 +76,22 @@ class Raymarcher:
         rayrgb = rayrgba[:, :3]
         rayalpha = rayrgba[:, 3:4]
         return rayrgb, rayalpha, rayrgba, None
+
+    def window_overflow(self, decout: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Fraction of prims whose AABB diagonal exceeds the Sp-step
+        sampling window (window_steps * dt) — the march's exactness bound.
+
+        primscale is LEARNED, so prims can outgrow the window during
+        training with no visual signal except silently dropped tail
+        contributions (ADVICE r4 #3); models log this scalar so overflow
+        is observable. 0.0 when no window is configured (always exact)."""
+        Sp = self.march_kwargs.get("window_steps", None)
+        if Sp is None:
+            return jnp.zeros(())
+        pscale = decout["primscale"]                  # [B, K, 3] (1/extent)
+        # oriented box half-extents are 1/primscale in the normalized
+        # frame (ops/mvp.py prim coords y = primscale * R^T (x - p),
+        # valid iff |y|_inf < 1) -> diagonal = 2 * ||1/primscale||_2
+        diam = 2.0 * jnp.linalg.norm(
+            1.0 / jnp.maximum(jnp.abs(pscale), 1e-12), axis=-1)
+        return jnp.mean((diam > Sp * self.dt).astype(jnp.float32))
