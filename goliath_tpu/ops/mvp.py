@@ -151,6 +151,97 @@ def sample_packed(pv: PackedVolume, prim_ids: jnp.ndarray,
     return jnp.moveaxis(out.reshape((C,) + x.shape), 0, -1)
 
 
+def _pow_abs(y: jnp.ndarray, fadeexp: float) -> jnp.ndarray:
+    """|y|^fadeexp via repeated squaring for integer exponents: the generic
+    pow lowers to ln+exp per element on the VPU — at T*M*P*S march taps
+    that is billions of transcendentals (reference primsampler.h:44 uses
+    powf, but CUDA SFUs make it ~free; the TPU VPU does not)."""
+    fe = float(fadeexp)
+    if fe == int(fe) and int(fe) >= 1:
+        n = int(fe)
+        acc = None
+        bit = jnp.abs(y)
+        while n:
+            if n & 1:
+                acc = bit if acc is None else acc * bit
+            n >>= 1
+            if n:
+                bit = bit * bit
+        return acc
+    return jnp.abs(y) ** fadeexp
+
+
+def sample_packed_cf(pv: PackedVolume, prim_ids: jnp.ndarray,
+                     yx: jnp.ndarray, yy: jnp.ndarray, yz: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Channel-first trilinear sampling: coords as three SEPARATE dense
+    arrays [...] (lane-dense minor dim preserved end to end — a stacked
+    [..., 3] coordinate tensor tile-pads its minor dim 3 -> 128 lanes,
+    which made every boundary tensor of the march ~42x larger than its
+    payload). Returns [C, ...]. prim_ids broadcasts against leading axes.
+    """
+    K, C, D, H, W = pv.shape
+    x = (yx + 1.0) * (W / 2.0) - 0.5
+    v = (yy + 1.0) * (H / 2.0) - 0.5
+    z = (yz + 1.0) * (D / 2.0) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(v)
+    z0 = jnp.floor(z)
+    wx = x - x0
+    wy = v - y0
+    wz = z - z0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+    xin0 = (x0i >= 0) & (x0i < W)
+    xin1 = (x0i + 1 >= 0) & (x0i + 1 < W)
+    xc = jnp.clip(x0i, 0, W - 1)
+    base = prim_ids.reshape(
+        prim_ids.shape + (1,) * (yx.ndim - prim_ids.ndim))
+    flat_n = x.size
+    w0 = ((1 - wx) * xin0).reshape(flat_n)
+    w1 = (wx * xin1).reshape(flat_n)
+    out = 0.0
+    for dz in (0, 1):
+        zi = z0i + dz
+        zv = (zi >= 0) & (zi < D)
+        zc = jnp.clip(zi, 0, D - 1)
+        wzz = wz if dz else 1 - wz
+        for dy in (0, 1):
+            yi = y0i + dy
+            yv = (yi >= 0) & (yi < H)
+            yc = jnp.clip(yi, 0, H - 1)
+            ridx = ((base * D + zc) * H + yc) * W + xc
+            r = pv.rows_cf[:, ridx.reshape(-1)]              # [2C, n]
+            wyy = ((wy if dy else 1 - wy) * wzz
+                   * (zv & yv)).reshape(flat_n)
+            out = out + (r[:C] * w0[None] + r[C:] * w1[None]) * wyy[None]
+    return out.reshape((C,) + x.shape)
+
+
+def sample_prims_cf(template, prim_ids, yx, yy, yz,
+                    fadescale: float, fadeexp: float, warp=None
+                    ) -> jnp.ndarray:
+    """Channel-first trilinear RGBA with border fade: [4, ...] (rgb in
+    0:3, faded+validity-masked alpha in 3). Coordinates are three dense
+    arrays; see sample_prims for the channel-last twin and the warp
+    semantics (fade/validity from pre-warp coords, primsampler.h:44-67)."""
+    fade = jnp.exp(-fadescale * (_pow_abs(yx, fadeexp)
+                                 + _pow_abs(yy, fadeexp)
+                                 + _pow_abs(yz, fadeexp)))
+    valid = ((jnp.abs(yx) < 1.0) & (jnp.abs(yy) < 1.0)
+             & (jnp.abs(yz) < 1.0))
+    if warp is not None:
+        wpv = warp if isinstance(warp, PackedVolume) else pack_volume(warp)
+        w3 = sample_packed_cf(wpv, prim_ids, yx, yy, yz)   # [3, ...]
+        yx, yy, yz = w3[0], w3[1], w3[2]
+    tpv = (template if isinstance(template, PackedVolume)
+           else pack_volume(template))
+    rgba = sample_packed_cf(tpv, prim_ids, yx, yy, yz)     # [4, ...]
+    alpha = rgba[3] * fade * valid
+    return jnp.concatenate([rgba[:3], alpha[None]], axis=0)
+
+
 def sample_prims(
     template: jnp.ndarray,   # [K, 4, TD, TH, TW] or PackedVolume
     prim_ids: jnp.ndarray,   # [CH]
@@ -164,25 +255,7 @@ def sample_prims(
     With a warp field, the template is sampled at the warped coordinate
     while the border fade and validity use the pre-warp coordinate
     (reference primsampler.h:44-67: fade from y0, template at yy1)."""
-    # |y|^fadeexp via repeated squaring for integer exponents: the generic
-    # pow lowers to ln+exp per element on the VPU — at T*M*P*S march taps
-    # that is billions of transcendentals (reference primsampler.h:44 uses
-    # powf, but CUDA SFUs make it ~free; the TPU VPU does not)
-    fe = float(fadeexp)
-    if fe == int(fe) and int(fe) >= 1:
-        n = int(fe)
-        base = jnp.abs(y)
-        acc = None
-        bit = base
-        while n:
-            if n & 1:
-                acc = bit if acc is None else acc * bit
-            n >>= 1
-            if n:
-                bit = bit * bit
-        powed = acc
-    else:
-        powed = jnp.abs(y) ** fadeexp
+    powed = _pow_abs(y, fadeexp)
     fade = jnp.exp(-fadescale * jnp.sum(powed, axis=-1))
     valid = jnp.all(jnp.abs(y) < 1.0, axis=-1)
     if warp is not None:
@@ -370,6 +443,7 @@ def mvp_raymarch_tiled(
     S = max_steps
     Sp = S if window_steps is None else min(window_steps, S)
     iota_S = jnp.arange(S, dtype=jnp.int32)
+    iota_Sp = jnp.arange(Sp, dtype=jnp.int32)
 
     # ---- occupancy order: ascending pair count (one ~free in-graph sort).
     # Empty tiles cluster into all-empty groups whose chunk lax.cond skips
@@ -412,83 +486,150 @@ def mvp_raymarch_tiled(
         t0 = tm_g[..., 0] + jnp.floor(
             jnp.maximum(t_enter - tm_g[..., 0], 0.0) / stepsize
         ) * stepsize                                             # [g,P]
-        steps_t = t0[..., None] + stepsize * jnp.arange(
-            S, dtype=jnp.float32)                                # [g,P,S]
-        live = (steps_t <= t_exit[..., None] + 1e-5) & any_hit[..., None]
 
         def chunk_body(carry, ci):
-            def do(c):
-                alpha_acc, rgbw_acc = c                # [g,P,S], [g,P,S,3]
+            def do(acc):
+                # acc [g, 4, S, P] — channel-first step-grid accumulator
                 cidx = starts[:, None] + ci * chunk + jnp.arange(
                     chunk, dtype=jnp.int32)                      # [g,CH]
                 cm = cidx < ends[:, None]
                 cp = binning.sorted_prim[jnp.clip(cidx, 0, budget - 1)]
-                # chunk spans recomputed (cheaper than slicing the [g,M,P]
-                # prelude tensor with a dynamic index)
-                tmin_c, tmax_c = _ray_box_span_g(
-                    rp_g, rd_g, pmin[cp], pmax[cp])              # [g,CH,P]
+                # prim-local coords linearized along the ray:
+                # y_j(t) = ps_j * (R^T rd)_j * t + ps_j * (R^T (rp - pp))_j
+                # — the matvec leaves the tap axis entirely.
+                Rr = primrot[cp]                                 # [g,CH,3,3]
+                psc = primscale[cp]                              # [g,CH,3]
+                Ac = jnp.einsum("gkij,gpi->gkjp", Rr, rd_g) \
+                    * psc[..., None]                             # [g,CH,3,P]
+                rel0 = rp_g[:, None] - primpos[cp][:, :, None]   # [g,CH,P,3]
+                Bc = jnp.einsum("gkij,gkpi->gkjp", Rr, rel0) \
+                    * psc[..., None]                             # [g,CH,3,P]
+                # chunk spans from the ORIENTED slabs |y_j(t)| < 1 (exact
+                # support of the sample validity mask — tighter than the
+                # world AABB, so the Sp window needs to cover only the true
+                # oriented span, ~diagonal/stepsize steps worst case)
+                invA = 1.0 / jnp.where(jnp.abs(Ac) < 1e-12, 1e-12, Ac)
+                t1 = (-1.0 - Bc) * invA                          # [g,CH,3,P]
+                t2 = (1.0 - Bc) * invA
+                tmin_c = jnp.max(jnp.minimum(t1, t2), axis=2)    # [g,CH,P]
+                tmax_c = jnp.min(jnp.maximum(t1, t2), axis=2)
                 ok = (tmax_c > tmin_c) & cm[..., None]
-                # first grid step inside the span; taps outside the AABB
-                # are exactly zero (valid mask), so the Sp window from here
-                # covers every contributing step when the span fits
+                # first grid step inside the span; taps outside the slab
+                # volume are exactly zero (valid mask), so the Sp window
+                # from here covers every contributing step when the
+                # oriented span fits
                 s_lo = jnp.ceil(
                     (tmin_c - t0[:, None, :]) / stepsize - 1e-5
                 ).astype(jnp.int32)
                 s_lo = jnp.clip(s_lo, 0, S - 1)                  # [g,CH,P]
-                sidx = s_lo[..., None] + jnp.arange(
-                    Sp, dtype=jnp.int32)                         # [g,CH,P,Sp]
-                tj = t0[:, None, :, None] + sidx * stepsize
-                msk = (ok[..., None] & (tj <= tmax_c[..., None] + 1e-5)
+                sidx = s_lo[:, :, None, :] \
+                    + iota_Sp[None, None, :, None]               # [g,CH,Sp,P]
+                tj = t0[:, None, None, :] + sidx * stepsize
+                msk = (ok[:, :, None, :]
+                       & (tj <= tmax_c[:, :, None, :] + 1e-5)
                        & (sidx < S))
-                pos = (rp_g[:, None, :, None, :]
-                       + rd_g[:, None, :, None, :] * tj[..., None])
-                rel = pos - primpos[cp][:, :, None, None, :]
-                y = jnp.einsum(
-                    "gkij,gkpsi->gkpsj", primrot[cp], rel
-                ) * primscale[cp][:, :, None, None, :]
-                smp = sample_prims(
-                    template, cp.reshape(-1),
-                    y.reshape(g_sz * chunk, P * Sp, 3),
-                    fadescale, fadeexp, warp=warp,
-                ).reshape(g_sz, chunk, P, Sp, 4)
-                a = smp[..., 3] * msk
-                vals = jnp.concatenate(
-                    [smp[..., :3] * a[..., None], a[..., None]], axis=-1)
-                # deposit windows onto the step grid: one-hot at s_lo,
-                # contract the chunk axis on the MXU, then Sp static
+                yx = Ac[:, :, 0, None, :] * tj + Bc[:, :, 0, None, :]
+                yy = Ac[:, :, 1, None, :] * tj + Bc[:, :, 1, None, :]
+                yz = Ac[:, :, 2, None, :] * tj + Bc[:, :, 2, None, :]
+                _ablate = os.environ.get("GOLIATH_MVP_ABLATE", "")
+                if _ablate == "nosample":
+                    # deposit-only cost: cheap arithmetic stand-in for the
+                    # trilinear row gathers (same shapes, no gather traffic)
+                    smp = jnp.tanh(yx + yy + yz)[None] * jnp.ones(
+                        (4, 1, 1, 1, 1), yx.dtype)
+                else:
+                    # Chunk-local template table: gather the chunk's g*ch
+                    # prim volumes out of the global [2C, K*cells] table
+                    # (contiguous 2048-row block DMAs), then point the 8.4M
+                    # random tap gathers at the SMALL table. The global
+                    # table scales with K (268 MB at uv1024) and falls out
+                    # of VMEM, where the same gather measured 4x slower
+                    # (42 ms vs 10 ms per 2M taps, r5 trace: the old small-
+                    # scale table carried S(1)=VMEM, the at-scale one did
+                    # not); the local table is scale-INDEPENDENT
+                    # (2C * g*ch*cells ~ 33 MB at the default config).
+                    tK, tC, tD, tH, tW = (template.shape
+                                          if isinstance(template,
+                                                        PackedVolume)
+                                          else (template.shape[0],
+                                                template.shape[1],
+                                                *template.shape[2:]))
+                    tpv = (template if isinstance(template, PackedVolume)
+                           else pack_volume(template))
+                    cells = tD * tH * tW
+                    cpf = cp.reshape(-1)                       # [g*ch]
+                    loc = tpv.rows_cf.reshape(2 * tC, tK, cells)[:, cpf]
+                    loc_pv = PackedVolume(
+                        loc.reshape(2 * tC, cpf.shape[0] * cells),
+                        (cpf.shape[0], tC, tD, tH, tW))
+                    loc_ids = jnp.arange(
+                        cpf.shape[0], dtype=jnp.int32
+                    ).reshape(cp.shape)
+                    loc_warp = None
+                    if warp is not None:
+                        wpv = (warp if isinstance(warp, PackedVolume)
+                               else pack_volume(warp))
+                        wK, wC, wD, wH, wW = wpv.shape
+                        wcells = wD * wH * wW
+                        wloc = wpv.rows_cf.reshape(
+                            2 * wC, wK, wcells)[:, cpf]
+                        loc_warp = PackedVolume(
+                            wloc.reshape(2 * wC, cpf.shape[0] * wcells),
+                            (cpf.shape[0], wC, wD, wH, wW))
+                    smp = sample_prims_cf(
+                        loc_pv, loc_ids, yx, yy, yz, fadescale, fadeexp,
+                        warp=loc_warp)                       # [4,g,CH,Sp,P]
+                a = smp[3] * msk
+                # [g,CH,4,Sp,P]: alpha-weighted rgb + alpha, P minor
+                vals = jnp.stack(
+                    [smp[0] * a, smp[1] * a, smp[2] * a, a], axis=2)
+                if _ablate == "nodeposit":
+                    # sampling-only cost: sum windows at a fixed offset
+                    # (wrong image, no one-hot deposit)
+                    return acc + jnp.pad(
+                        vals.sum(1), ((0, 0), (0, 0), (0, S - Sp), (0, 0)))
+                # deposit windows onto the step grid: one-hot at s_lo
+                # (contracted over the chunk axis), then Sp static
                 # shift-adds place offset j at step s_lo + j. No scatters.
-                Z = (s_lo[..., None] == iota_S).astype(vals.dtype)
+                Z = (s_lo[:, :, None, :] == iota_S[None, None, :, None]
+                     ).astype(vals.dtype)                        # [g,CH,S,P]
                 for j in range(Sp):
                     dj = jnp.einsum(
-                        "gkps,gkpc->gpsc", Z, vals[:, :, :, j, :],
-                        precision=jax.lax.Precision.HIGHEST)
+                        "gksp,gkcp->gcsp", Z, vals[:, :, :, j, :],
+                        precision=jax.lax.Precision.HIGHEST)     # [g,4,S,P]
                     if j:
                         dj = jnp.pad(
                             dj[:, :, : S - j],
                             ((0, 0), (0, 0), (j, 0), (0, 0)))
-                    alpha_acc = alpha_acc + dj[..., 3]
-                    rgbw_acc = rgbw_acc + dj[..., :3]
-                return (alpha_acc, rgbw_acc)
+                    acc = acc + dj
+                return acc
 
             needed = jnp.any(ci * chunk < ends - starts)
             carry = lax.cond(needed, do, lambda c: c, carry)
             return carry, None
 
-        init = (jnp.zeros((g_sz, P, S)), jnp.zeros((g_sz, P, S, 3)))
-        (alpha, rgbw), _ = lax.scan(
+        init = jnp.zeros((g_sz, 4, S, P))
+        acc, _ = lax.scan(
             jax.checkpoint(chunk_body) if CKPT_CHUNK else chunk_body,
             init, jnp.arange(nchunks, dtype=jnp.int32),
         )
-        alpha = alpha * live
+        iota_Sf = jnp.arange(S, dtype=jnp.float32)
+        steps_t = t0[:, None, :] + stepsize * iota_Sf[None, :, None]
+        live = ((steps_t <= t_exit[:, None, :] + 1e-5)
+                & any_hit[:, None, :])                           # [g,S,P]
+        alpha = acc[:, 3] * live
         safe = jnp.where(alpha > 0, alpha, 1.0)
-        rgb_mean = rgbw / safe[..., None]
-        out = jax.vmap(jax.vmap(
-            lambda r, a: accumulate_additive(r, a, stepsize)
-        ))(rgb_mean, alpha)  # [g,P,4]
+        rgb_mean = acc[:, :3] / safe[:, None]
+        # accumulate_additive, channel-first over the step axis
+        A = jnp.cumsum(alpha * stepsize, axis=1)
+        A_clip = jnp.minimum(A, 1.0)
+        contrib = jnp.diff(A_clip, prepend=0.0, axis=1)          # [g,S_pad,P]
+        rgb_out = jnp.einsum("gcsp,gsp->gcp", rgb_mean, contrib)
+        a_out = A_clip[:, -1]                                    # [g,P]
         # channel-first so the stacked lax.map output (and its cotangent)
         # is [..., 4, P] — a [..., P, 4] stack tile-pads 4 -> 128 lanes
         # (5.25 GB at hand scale, part of the round-3 hand_mvp rung OOM)
-        return out.transpose(0, 2, 1)  # [g, 4, P]
+        return jnp.concatenate([rgb_out, a_out[:, None]], axis=1)  # [g,4,P]
 
     # march tile groups via lax.map (sequential scan): a flat vmap over all
     # T tiles materializes the per-chunk sample tensor at once, while a

@@ -56,7 +56,7 @@ def test_rgca_synthetic_quality_floor(tmp_path):
 
     rng = jax.random.PRNGKey(1)
     batch = jb
-    for i in range(60):
+    for i in range(180):
         rng, k = jax.random.split(rng)
         params, opt_state, total = step(params, opt_state, batch, k)
         if i % 10 == 9:
@@ -79,5 +79,6 @@ def test_rgca_synthetic_quality_floor(tmp_path):
         mse = float((err ** 2).mean())
         psnrs.append(10 * np.log10(1.0 / mse))
     mean_psnr = float(np.mean(psnrs))
-    # untrained model scores ~10-12 dB on this fixture; 60 steps reach ~19+
-    assert mean_psnr > 16.0, f"held-out PSNR regressed: {mean_psnr:.2f} dB"
+    # untrained model scores ~10-12 dB on this fixture; 180 steps measured
+    # 18.06 dB on CPU (r5) — floor at 17.0 leaves ~1 dB for platform noise
+    assert mean_psnr > 17.0, f"held-out PSNR regressed: {mean_psnr:.2f} dB"
