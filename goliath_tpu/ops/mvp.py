@@ -372,6 +372,7 @@ def mvp_raymarch_tiled(
     warp: Optional[jnp.ndarray] = None,  # [K, 3, WD, WH, WW]
     tile_group: int = 64,
     window_steps: Optional[int] = None,
+    max_prims_per_ray: int = 16,
 ) -> jnp.ndarray:
     """Tile-culled fixed-step MVP march. Returns rgba image [4, H, W].
 
@@ -380,15 +381,24 @@ def mvp_raymarch_tiled(
     culling and must correspond to the rays.
 
     `window_steps` (Sp): per-(prim, ray) sampling window. A prim only
-    contributes on grid steps inside its AABB span (`valid` zeroes taps
-    outside the oriented box, reference primsampler.h:44-67), so sampling
-    the Sp steps from the span entry is EXACT when the span fits, i.e.
-    when prim diameter <= Sp * stepsize (hand-scale prims span ~4-8 steps;
-    the default None = max_steps is always exact). Contributions land on
-    the same global step grid as the dense form via a one-hot deposit
-    einsum — per-tap row gathers are 98.5% of a dense march's runtime on
-    TPU, and the window cuts taps by S/Sp. When the span overflows Sp the
-    tail is dropped (documented deviation, like max_tiles_per_prim).
+    contributes on grid steps inside its ORIENTED-slab span (`valid`
+    zeroes taps outside the oriented box, reference primsampler.h:44-67),
+    so sampling the Sp steps from the span entry is EXACT when the span
+    fits, i.e. when the oriented diagonal <= Sp * stepsize (hand-scale
+    prims span ~4-8 steps; the default None = max_steps is always exact).
+    Contributions land on the same global step grid as the dense form via
+    a one-hot deposit einsum — per-tap gathers are ~all of the march's
+    runtime on TPU, and the window cuts taps by S/Sp. When the span
+    overflows Sp the tail is dropped (documented deviation, like
+    max_tiles_per_prim).
+
+    `max_prims_per_ray` (R): each ray marches only the R nearest (by
+    entry depth) tile prims whose AABB it actually hits, in chunks of
+    `chunk` rays-list slots; rays hitting more than R prims drop the
+    FARTHEST ones (documented deviation — front-to-back additive
+    saturation makes far prims least visible, and the reference CUDA
+    kernel truncates at saturation for the same reason,
+    mvpraymarch_subset_kernel.h early-exit).
     """
     H, W = raypos.shape[:2]
     ntx = -(-W // tile_size)
@@ -429,16 +439,13 @@ def mvp_raymarch_tiled(
     budget = binning.sorted_prim.shape[0]
 
     P = tile_size * tile_size
-    nchunks = max_prims_per_tile // chunk
+    M = max_prims_per_tile
+    R = min(max_prims_per_ray, M)
+    rchunk = min(chunk, R)
+    nchunks = -(-R // rchunk)
     rp_tiles = _to_tiles(raypos, ntx, nty, tile_size)     # [T, P, 3]
     rd_tiles = _to_tiles(raydir, ntx, nty, tile_size)
     tm_tiles = _to_tiles(tminmax, ntx, nty, tile_size)    # [T, P, 2]
-
-    # pack once, OUTSIDE the vmapped tile march (packing inside the scan
-    # body would rebuild the 2x row table every prim chunk)
-    template = pack_volume(template)
-    if warp is not None:
-        warp = pack_volume(warp)
 
     S = max_steps
     Sp = S if window_steps is None else min(window_steps, S)
@@ -460,11 +467,22 @@ def mvp_raymarch_tiled(
     rd_s = jnp.take(rd_tiles, order, axis=0)
     tm_s = jnp.take(tm_tiles, order, axis=0)
 
+    tpv = (template if isinstance(template, PackedVolume)
+           else pack_volume(template))
+    tKK, tC, tD, tH, tW = tpv.shape
+    cells = tD * tH * tW
+    rows3 = tpv.rows_cf.reshape(2 * tC, tKK, cells)
+    wpv = wrows3 = None
+    if warp is not None:
+        wpv = warp if isinstance(warp, PackedVolume) else pack_volume(warp)
+        wK, wC, wD, wH, wW = wpv.shape
+        wcells = wD * wH * wW
+        wrows3 = wpv.rows_cf.reshape(2 * wC, wK, wcells)
+
     def march_group(starts, ends, rp_g, rd_g, tm_g):
         # starts/ends [g]; rp_g/rd_g [g,P,3]; tm_g [g,P,2]
         g_sz = starts.shape[0]
-        idxs = starts[:, None] + jnp.arange(
-            max_prims_per_tile, dtype=jnp.int32)                 # [g,M]
+        idxs = starts[:, None] + jnp.arange(M, dtype=jnp.int32)  # [g,M]
         pm = idxs < ends[:, None]
         pids = binning.sorted_prim[jnp.clip(idxs, 0, budget - 1)]
 
@@ -480,6 +498,24 @@ def mvp_raymarch_tiled(
         t_enter = jnp.where(any_hit, t_enter, 0.0)
         t_exit = jnp.where(any_hit, t_exit, -1.0)
 
+        # ---- per-RAY top-R prim selection (r5): a ray typically hits only
+        # a handful of the tile's up-to-M prims, yet the tile-list march
+        # sampled EVERY (tile prim, ray) pair — at MPPT 64 vs ~4-8 true
+        # hits per ray that is ~8x wasted taps, and taps are the march's
+        # entire cost (VMEM-gather-bound, ~5 ns/index). Sort each ray's
+        # hit prims by entry depth and march only the nearest R. Rays
+        # hitting more than R prims lose the FARTHEST ones (front-to-back
+        # additive saturation makes far prims the least visible; the CUDA
+        # kernel truncates at saturation for the same reason).
+        keyT = jnp.where(hit, tmin_pk, jnp.inf).transpose(0, 2, 1)  # [g,P,M]
+        slotM = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, None], keyT.shape)
+        key_s, slot_s = lax.sort((keyT, slotM), num_keys=1,
+                                 is_stable=False)
+        slotR = slot_s[..., :R]                                  # [g,P,R]
+        hitR = jnp.isfinite(key_s[..., :R])                      # [g,P,R]
+        n_hits = jnp.sum(hitR, axis=2)                           # [g,P]
+
         # align steps to the global tmin grid like the CUDA kernel
         # (mvpraymarch_subset_kernel.h:76-79) so sample positions match the
         # all-prims oracle exactly
@@ -487,33 +523,64 @@ def mvp_raymarch_tiled(
             jnp.maximum(t_enter - tm_g[..., 0], 0.0) / stepsize
         ) * stepsize                                             # [g,P]
 
+        # Group-local template table: gather this group's g*M prim volumes
+        # out of the global [2C, K*cells] table (contiguous cell-block
+        # DMAs) and point the random tap gathers at the SMALL table. The
+        # global table scales with K (268 MB at uv1024) and falls out of
+        # VMEM, where the same gather measured 4x slower (42 vs 10 ms per
+        # 2M taps; r5 trace: the small-scale table carried S(1)=VMEM, the
+        # at-scale one did not). The local table is scale-independent:
+        # 2C * g*M*cells floats — size tile_group/max_prims_per_tile to
+        # keep it well under VMEM.
+        pf = pids.reshape(-1)                                    # [g*M]
+        loc_pv = PackedVolume(
+            rows3[:, pf].reshape(2 * tC, g_sz * M * cells),
+            (g_sz * M, tC, tD, tH, tW))
+        loc_warp = None
+        if wrows3 is not None:
+            loc_warp = PackedVolume(
+                wrows3[:, pf].reshape(2 * wC, g_sz * M * wcells),
+                (g_sz * M, wC, wD, wH, wW))
+        gM_base = (jnp.arange(g_sz, dtype=jnp.int32) * M)[:, None, None]
+        # group-local prim params: the per-RAY selection gathers params per
+        # (g, rc, P) — against the global [K, ...] arrays that is 131k
+        # rows/chunk-step whose ADJOINT is a 131k-row scatter into K rows;
+        # against these [g, M, ...] copies both sides stay in a ~100 KB
+        # table and the global-array adjoint is one cheap g*M-row scatter.
+        rot_g = primrot[pids]                                    # [g,M,3,3]
+        psc_g = primscale[pids]                                  # [g,M,3]
+        pos_g = primpos[pids]                                    # [g,M,3]
+        g_iota = jnp.arange(g_sz, dtype=jnp.int32)[:, None, None]
+
         def chunk_body(carry, ci):
             def do(acc):
                 # acc [g, 4, S, P] — channel-first step-grid accumulator
-                cidx = starts[:, None] + ci * chunk + jnp.arange(
-                    chunk, dtype=jnp.int32)                      # [g,CH]
-                cm = cidx < ends[:, None]
-                cp = binning.sorted_prim[jnp.clip(cidx, 0, budget - 1)]
+                sl = lax.dynamic_slice_in_dim(
+                    slotR, ci * rchunk, rchunk, axis=2
+                ).transpose(0, 2, 1)                             # [g,rc,P]
+                hm = lax.dynamic_slice_in_dim(
+                    hitR, ci * rchunk, rchunk, axis=2
+                ).transpose(0, 2, 1)                             # [g,rc,P]
                 # prim-local coords linearized along the ray:
                 # y_j(t) = ps_j * (R^T rd)_j * t + ps_j * (R^T (rp - pp))_j
                 # — the matvec leaves the tap axis entirely.
-                Rr = primrot[cp]                                 # [g,CH,3,3]
-                psc = primscale[cp]                              # [g,CH,3]
-                Ac = jnp.einsum("gkij,gpi->gkjp", Rr, rd_g) \
-                    * psc[..., None]                             # [g,CH,3,P]
-                rel0 = rp_g[:, None] - primpos[cp][:, :, None]   # [g,CH,P,3]
-                Bc = jnp.einsum("gkij,gkpi->gkjp", Rr, rel0) \
-                    * psc[..., None]                             # [g,CH,3,P]
-                # chunk spans from the ORIENTED slabs |y_j(t)| < 1 (exact
-                # support of the sample validity mask — tighter than the
-                # world AABB, so the Sp window needs to cover only the true
+                Rr = rot_g[g_iota, sl]                           # [g,rc,P,3,3]
+                psc = psc_g[g_iota, sl]                          # [g,rc,P,3]
+                Ac = (jnp.einsum("gkpij,gpi->gkpj", Rr, rd_g)
+                      * psc).transpose(0, 1, 3, 2)               # [g,rc,3,P]
+                rel0 = rp_g[:, None] - pos_g[g_iota, sl]         # [g,rc,P,3]
+                Bc = (jnp.einsum("gkpij,gkpi->gkpj", Rr, rel0)
+                      * psc).transpose(0, 1, 3, 2)               # [g,rc,3,P]
+                # spans from the ORIENTED slabs |y_j(t)| < 1 (exact support
+                # of the sample validity mask — tighter than the world
+                # AABB, so the Sp window needs to cover only the true
                 # oriented span, ~diagonal/stepsize steps worst case)
                 invA = 1.0 / jnp.where(jnp.abs(Ac) < 1e-12, 1e-12, Ac)
-                t1 = (-1.0 - Bc) * invA                          # [g,CH,3,P]
+                t1 = (-1.0 - Bc) * invA                          # [g,rc,3,P]
                 t2 = (1.0 - Bc) * invA
-                tmin_c = jnp.max(jnp.minimum(t1, t2), axis=2)    # [g,CH,P]
+                tmin_c = jnp.max(jnp.minimum(t1, t2), axis=2)    # [g,rc,P]
                 tmax_c = jnp.min(jnp.maximum(t1, t2), axis=2)
-                ok = (tmax_c > tmin_c) & cm[..., None]
+                ok = (tmax_c > tmin_c) & hm
                 # first grid step inside the span; taps outside the slab
                 # volume are exactly zero (valid mask), so the Sp window
                 # from here covers every contributing step when the
@@ -521,9 +588,9 @@ def mvp_raymarch_tiled(
                 s_lo = jnp.ceil(
                     (tmin_c - t0[:, None, :]) / stepsize - 1e-5
                 ).astype(jnp.int32)
-                s_lo = jnp.clip(s_lo, 0, S - 1)                  # [g,CH,P]
+                s_lo = jnp.clip(s_lo, 0, S - 1)                  # [g,rc,P]
                 sidx = s_lo[:, :, None, :] \
-                    + iota_Sp[None, None, :, None]               # [g,CH,Sp,P]
+                    + iota_Sp[None, None, :, None]               # [g,rc,Sp,P]
                 tj = t0[:, None, None, :] + sidx * stepsize
                 msk = (ok[:, :, None, :]
                        & (tj <= tmax_c[:, :, None, :] + 1e-5)
@@ -538,49 +605,12 @@ def mvp_raymarch_tiled(
                     smp = jnp.tanh(yx + yy + yz)[None] * jnp.ones(
                         (4, 1, 1, 1, 1), yx.dtype)
                 else:
-                    # Chunk-local template table: gather the chunk's g*ch
-                    # prim volumes out of the global [2C, K*cells] table
-                    # (contiguous 2048-row block DMAs), then point the 8.4M
-                    # random tap gathers at the SMALL table. The global
-                    # table scales with K (268 MB at uv1024) and falls out
-                    # of VMEM, where the same gather measured 4x slower
-                    # (42 ms vs 10 ms per 2M taps, r5 trace: the old small-
-                    # scale table carried S(1)=VMEM, the at-scale one did
-                    # not); the local table is scale-INDEPENDENT
-                    # (2C * g*ch*cells ~ 33 MB at the default config).
-                    tK, tC, tD, tH, tW = (template.shape
-                                          if isinstance(template,
-                                                        PackedVolume)
-                                          else (template.shape[0],
-                                                template.shape[1],
-                                                *template.shape[2:]))
-                    tpv = (template if isinstance(template, PackedVolume)
-                           else pack_volume(template))
-                    cells = tD * tH * tW
-                    cpf = cp.reshape(-1)                       # [g*ch]
-                    loc = tpv.rows_cf.reshape(2 * tC, tK, cells)[:, cpf]
-                    loc_pv = PackedVolume(
-                        loc.reshape(2 * tC, cpf.shape[0] * cells),
-                        (cpf.shape[0], tC, tD, tH, tW))
-                    loc_ids = jnp.arange(
-                        cpf.shape[0], dtype=jnp.int32
-                    ).reshape(cp.shape)
-                    loc_warp = None
-                    if warp is not None:
-                        wpv = (warp if isinstance(warp, PackedVolume)
-                               else pack_volume(warp))
-                        wK, wC, wD, wH, wW = wpv.shape
-                        wcells = wD * wH * wW
-                        wloc = wpv.rows_cf.reshape(
-                            2 * wC, wK, wcells)[:, cpf]
-                        loc_warp = PackedVolume(
-                            wloc.reshape(2 * wC, cpf.shape[0] * wcells),
-                            (cpf.shape[0], wC, wD, wH, wW))
+                    loc_ids = (gM_base + sl)[:, :, None, :]      # [g,rc,1,P]
                     smp = sample_prims_cf(
                         loc_pv, loc_ids, yx, yy, yz, fadescale, fadeexp,
-                        warp=loc_warp)                       # [4,g,CH,Sp,P]
+                        warp=loc_warp)                       # [4,g,rc,Sp,P]
                 a = smp[3] * msk
-                # [g,CH,4,Sp,P]: alpha-weighted rgb + alpha, P minor
+                # [g,rc,4,Sp,P]: alpha-weighted rgb + alpha, P minor
                 vals = jnp.stack(
                     [smp[0] * a, smp[1] * a, smp[2] * a, a], axis=2)
                 if _ablate == "nodeposit":
@@ -589,10 +619,10 @@ def mvp_raymarch_tiled(
                     return acc + jnp.pad(
                         vals.sum(1), ((0, 0), (0, 0), (0, S - Sp), (0, 0)))
                 # deposit windows onto the step grid: one-hot at s_lo
-                # (contracted over the chunk axis), then Sp static
+                # (contracted over the ray-chunk axis), then Sp static
                 # shift-adds place offset j at step s_lo + j. No scatters.
                 Z = (s_lo[:, :, None, :] == iota_S[None, None, :, None]
-                     ).astype(vals.dtype)                        # [g,CH,S,P]
+                     ).astype(vals.dtype)                        # [g,rc,S,P]
                 for j in range(Sp):
                     dj = jnp.einsum(
                         "gksp,gkcp->gcsp", Z, vals[:, :, :, j, :],
@@ -604,7 +634,9 @@ def mvp_raymarch_tiled(
                     acc = acc + dj
                 return acc
 
-            needed = jnp.any(ci * chunk < ends - starts)
+            # chunk i needed iff some ray has > i*rchunk hits (hit slots
+            # are sorted to the front of each ray's list)
+            needed = jnp.any(n_hits > ci * rchunk)
             carry = lax.cond(needed, do, lambda c: c, carry)
             return carry, None
 

@@ -71,6 +71,57 @@ def main():
         t = timeit(mbwd, params, jb)
         print(f"model fwd+bwd:           {t*1e3:8.1f} ms", flush=True)
 
+    if "noshadow" in sections:
+        # shadow cost by ablation: stub get_shadow_map (both passes) with a
+        # constant no-shadow map of the right shape
+        import goliath_tpu.models.urhand as uh
+
+        real = uh.get_shadow_map
+
+        def stub(rl, Rt, K, verts, postex, nml=None):
+            return jnp.zeros_like(postex[:, :1])
+
+        uh.get_shadow_map = stub
+
+        def nsfwd(p, b):
+            preds = model.apply(p, b, train=True)
+            return preds["rgb"].sum()
+
+        def nsbwd(p, b):
+            g = jax.grad(lambda p: nsfwd(p, b))(p)
+            return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+        t = timeit(jax.jit(nsfwd), params, jb)
+        print(f"model fwd (no shadow):   {t*1e3:8.1f} ms", flush=True)
+        t = timeit(jax.jit(nsbwd), params, jb)
+        print(f"model fwd+bwd (noshdw):  {t*1e3:8.1f} ms", flush=True)
+        uh.get_shadow_map = real
+
+    if "halfshadow" in sections:
+        # one shared shadow pass: reuse the FIRST pass's map for the second
+        import goliath_tpu.models.urhand as uh
+
+        real = uh.get_shadow_map
+        cache = {}
+
+        def shared(rl, Rt, K, verts, postex, nml=None):
+            if "sm" not in cache:
+                cache["sm"] = real(rl, Rt, K, verts, postex, nml)
+            return cache["sm"]
+
+        uh.get_shadow_map = shared
+
+        def hsbwd(p, b):
+            cache.clear()
+            g = jax.grad(lambda p: (model.apply(p, b, train=True)["rgb"]
+                                    ).sum())(p)
+            return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+        t = timeit(jax.jit(hsbwd), params, jb)
+        print(f"model fwd+bwd (1 pass):  {t*1e3:8.1f} ms", flush=True)
+        uh.get_shadow_map = real
+        cache.clear()
+
     if "full_step" in sections:
         import optax
         from functools import partial
