@@ -39,9 +39,76 @@ def main():
     uv = int(os.environ.get("GOLIATH_PROF_UV", 1024))
     batch = int(os.environ.get("GOLIATH_PROF_BATCH", 1))
     sections = set(sys.argv[1:]) or {
-        "model_fwd", "model_bwd", "full_step"}
+        "model_fwd", "model_bwd", "noseam", "noshadow", "noupscale",
+        "norender", "full_step"}
 
     os.environ.setdefault("GOLIATH_BENCH_MODEL", "mesh_vae")
+
+    # Ablation monkeypatches (each section rebuilds nothing — the linen
+    # modules are re-instantiated per trace, so patching the CLASS before
+    # the jit trace is enough; restore after).
+    import contextlib
+
+    @contextlib.contextmanager
+    def ablate(kind):
+        if kind == "noseam":
+            from goliath_tpu.utils import seams as _s
+            orig = (_s.SeamSampler.impaint, _s.SeamSampler.resample)
+            _s.SeamSampler.impaint = lambda self, x: x
+            _s.SeamSampler.resample = lambda self, x: x
+            try:
+                yield
+            finally:
+                _s.SeamSampler.impaint, _s.SeamSampler.resample = orig
+        elif kind == "noshadow":
+            from goliath_tpu.nn import shadow as _sh
+            orig = _sh.ShadowUNet.__call__
+
+            def fake(self, ao):
+                B = ao.shape[0]
+                s = self.uv_size
+                one = jnp.ones((B, 1, s, s), jnp.float32) * (1.0 + 0.0 * ao.mean())
+                return {"shadow_map": one, "ao_map": ao}
+            _sh.ShadowUNet.__call__ = fake
+            try:
+                yield
+            finally:
+                _sh.ShadowUNet.__call__ = orig
+        elif kind == "noupscale":
+            from goliath_tpu.models import mesh_vae as _mv
+            orig = _mv.UpscaleNet.__call__
+
+            def fake(self, x):
+                B = x.shape[0]
+                T2 = x.shape[-1] * self.upscale_factor
+                return jnp.zeros((B, self.out_channels, T2, T2),
+                                 jnp.float32) * x.mean()
+            _mv.UpscaleNet.__call__ = fake
+            try:
+                yield
+            finally:
+                _mv.UpscaleNet.__call__ = orig
+        elif kind == "norender":
+            from goliath_tpu.ops import rasterizer as _rz
+            orig = _rz.RenderLayer.__call__
+
+            def fake(self, verts, tex, K, Rt, **kw):
+                B = tex.shape[0]
+                m = tex.mean((1, 2, 3)) + 0.0 * verts.mean((1, 2))
+                render = jnp.broadcast_to(
+                    m[:, None, None, None], (B, tex.shape[1], self.h, self.w))
+                depth = jnp.broadcast_to(
+                    verts.mean((1, 2))[:, None, None], (B, self.h, self.w))
+                return {"render": render, "depth_img": depth,
+                        "mask": depth > 0}
+            _rz.RenderLayer.__call__ = fake
+            try:
+                yield
+            finally:
+                _rz.RenderLayer.__call__ = orig
+        else:
+            yield
+
     from bench import build_mesh_vae
 
     model, loss_fn, optimizer, params, opt_state, jb = build_mesh_vae(
@@ -49,6 +116,24 @@ def main():
     rng = jax.random.PRNGKey(0)
     it0 = jnp.asarray(0)
     print(f"== mesh_vae profile: {img_h}x{img_w}, uv={uv}, batch={batch}")
+
+    def bwd_time(tag):
+        @jax.jit
+        def mbwd(p, b):
+            def f(p):
+                preds = model.apply(p, b, train=True,
+                                    rngs={"noise": jax.random.PRNGKey(1)})
+                return preds["rgb"].sum()
+            g = jax.grad(f)(p)
+            return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+        t = timeit(mbwd, params, jb)
+        print(f"{tag:24s} {t*1e3:8.1f} ms", flush=True)
+
+    for kind in ("noseam", "noshadow", "noupscale", "norender"):
+        if kind in sections:
+            with ablate(kind):
+                bwd_time(f"fwd+bwd [{kind}]:")
 
     if "model_fwd" in sections:
         @jax.jit
