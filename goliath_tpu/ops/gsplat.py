@@ -23,6 +23,7 @@ rasterizes twice).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -547,6 +548,28 @@ def prepare_sample(
     N = pos.shape[0]
     if pair_budget is None:
         pair_budget = 4 * N
+    (xys, conics, op_s, chan, valid, radii, ld,
+     t_min, t_max) = _project_sample(
+        K_b, Rt_b, pos, quat, scale, op, col, cam_img_h, cam_img_w,
+        tile_size, z_near, global_scale, return_depth, y_offset_px)
+
+    num_tiles = ntx * nty
+    dbits = 31 - int(num_tiles + 1).bit_length()
+    qd = _quantize_log_depth(ld, valid, dbits)
+    binning = bin_to_tiles(
+        t_min, t_max, valid & (radii > 0), ntx, nty,
+        max_tiles_per_prim, pair_budget, depth_keys=qd,
+    )
+    return xys, conics, op_s, chan, valid, radii, binning
+
+
+def _project_sample(K_b, Rt_b, pos, quat, scale, op, col, cam_img_h,
+                    cam_img_w, tile_size, z_near, global_scale,
+                    return_depth, y_offset_px=0.0):
+    """Per-prim projection half of prepare_sample (pure XLA, vmappable).
+
+    Returns (xys, conics, op_s, chan, valid, radii, log_depth, t_min,
+    t_max) — the tile AABBs are UNclipped; bin_to_tiles clips."""
     proj = project_gaussians(
         pos, scale, quat, Rt_b,
         K_b[0, 0], K_b[1, 1], K_b[0, 2], K_b[1, 2],
@@ -576,22 +599,7 @@ def prepare_sample(
     if return_depth:
         chan = jnp.concatenate([chan, depth_s[:, None]], axis=-1)
 
-    num_tiles = ntx * nty
-    dbits = 31 - int(num_tiles + 1).bit_length()
-    # quantize depth in LOG space: linear quantization collapses to a few
-    # levels when one far outlier stretches [dmin, dmax] (advisor finding,
-    # round 2); log-depth keeps RELATIVE resolution, which is what
-    # compositing order cares about. Valid prims have depth > z_near > 0.
     ld = jnp.log(jnp.maximum(depth_s, z_near))
-    dmask = jnp.where(valid, ld, jnp.inf)
-    dmin = jnp.min(dmask)
-    dmax = jnp.max(jnp.where(valid, ld, -jnp.inf))
-    dspan = jnp.maximum(dmax - dmin, 1e-9)
-    qd = jnp.clip(
-        ((ld - dmin) / dspan * ((1 << dbits) - 1)),
-        0, (1 << dbits) - 1,
-    ).astype(jnp.int32)
-
     t_min = jnp.stack(
         [jnp.floor((xys[:, 0] - rx) / tile_size),
          jnp.floor((xys[:, 1] - ry) / tile_size)], -1
@@ -600,11 +608,81 @@ def prepare_sample(
         [jnp.floor((xys[:, 0] + rx) / tile_size) + 1,
          jnp.floor((xys[:, 1] + ry) / tile_size) + 1], -1
     ).astype(jnp.int32)
+    return xys, conics, op_s, chan, valid, radii, ld, t_min, t_max
+
+
+def _quantize_log_depth(ld, valid, dbits):
+    """Quantize log depth to dbits levels over the VALID range.
+
+    Log space keeps RELATIVE resolution when one far outlier stretches
+    [dmin, dmax] (advisor finding, round 2); compositing order only cares
+    about relative depth. Valid prims have depth > z_near > 0."""
+    dmask = jnp.where(valid, ld, jnp.inf)
+    dmin = jnp.min(dmask)
+    dmax = jnp.max(jnp.where(valid, ld, -jnp.inf))
+    dspan = jnp.maximum(dmax - dmin, 1e-9)
+    return jnp.clip(
+        ((ld - dmin) / dspan * ((1 << dbits) - 1)),
+        0, (1 << dbits) - 1,
+    ).astype(jnp.int32)
+
+
+def _render_folded(cam_img_w, cam_img_h, K, Rt, primpos, primqvec,
+                   primscale, opacity, colors, return_depth, tile_size,
+                   global_scale, z_near, max_tiles_per_prim,
+                   max_pairs_per_tile, chunk, pair_budget_mult,
+                   pallas_inner, ntx, nty):
+    """Batch-folded Pallas render: stack the B images VERTICALLY in tile
+    space, bin all B*N prims in ONE bin_to_tiles over the ntx x (B*nty)
+    grid, and run ONE fwd/bwd kernel pair + ONE reduce for the whole batch
+    (gsplat_pallas.rasterize_tiled_pl_fold). B x smaller HLO and no
+    per-sample launch ramp vs the unrolled loop.
+
+    Semantics note: the pair budget is GLOBAL (B * pair_budget_mult * N):
+    under overflow pressure the later-stacked samples lose pairs first,
+    where the per-sample form dropped each sample's own farthest pairs.
+    At the configured 2-4x multipliers overflow does not occur in
+    practice."""
+    B, N = primpos.shape[:2]
+    budget_total = int(round(pair_budget_mult * N)) * B
+
+    proj = jax.vmap(
+        lambda Kb, Rtb, pos, quat, scale, op, col: _project_sample(
+            Kb, Rtb, pos, quat, scale, op, col, cam_img_h, cam_img_w,
+            tile_size, z_near, global_scale, return_depth)
+    )(K, Rt, primpos, primqvec, primscale, opacity, colors)
+    xys, conics, op_s, chan, valid, radii, ld, t_min, t_max = proj
+
+    num_tiles_g = ntx * nty * B
+    dbits = 31 - int(num_tiles_g + 1).bit_length()
+    qd = jax.vmap(lambda l, v: _quantize_log_depth(l, v, dbits))(ld, valid)
+
+    # per-sample clip, then offset each sample's tile rows by b*nty
+    yoff = (jnp.arange(B, dtype=jnp.int32) * nty)[:, None]
+    tmin_f = jnp.stack(
+        [jnp.clip(t_min[..., 0], 0, ntx).reshape(-1),
+         (jnp.clip(t_min[..., 1], 0, nty) + yoff).reshape(-1)], -1)
+    tmax_f = jnp.stack(
+        [jnp.clip(t_max[..., 0], 0, ntx).reshape(-1),
+         (jnp.clip(t_max[..., 1], 0, nty) + yoff).reshape(-1)], -1)
+    valid_f = (valid & (radii > 0)).reshape(-1)
+
     binning = bin_to_tiles(
-        t_min, t_max, valid & (radii > 0), ntx, nty,
-        max_tiles_per_prim, pair_budget, depth_keys=qd,
+        tmin_f, tmax_f, valid_f, ntx, nty * B,
+        max_tiles_per_prim, budget_total, depth_keys=qd.reshape(-1))
+
+    from goliath_tpu.ops.gsplat_pallas import rasterize_tiled_pl_fold
+
+    out, T_final = rasterize_tiled_pl_fold(
+        xys.reshape(B * N, 2), conics.reshape(B * N, 3),
+        op_s.reshape(B * N, 1), chan.reshape(B * N, chan.shape[-1]),
+        (binning.sorted_prim, binning.tile_start, binning.tile_end,
+         valid_f, binning.perm, binning.prim_offsets, binning.prim_ends,
+         binning.tile_of_pair),
+        cam_img_h, cam_img_w, tile_size, max_pairs_per_tile, chunk,
+        pallas_inner, ntx, nty, B,
     )
-    return xys, conics, op_s, chan, valid, radii, binning
+    return out, T_final
 
 
 def render(
@@ -692,12 +770,25 @@ def render(
         return out, T_final, radii_orig
 
     if use_pallas:
-        # pallas_call has no batching rule for the prefetch grid spec; the
-        # batch is small (1-4) so unroll it (each call saturates the chip)
         B = K.shape[0]
-        outs = [one(K[b], Rt[b], primpos[b], primqvec[b], primscale[b],
-                    opacity[b], colors[b]) for b in range(B)]
-        out, T_final, radii = (jnp.stack(x) for x in zip(*outs))
+        fold = (os.environ.get("GOLIATH_GSPLAT_FOLD", "0") == "1"
+                and B > 1 and not return_radii)
+        if fold:
+            # batch-folded: ONE binning/kernel/reduce for all B samples
+            # (B x smaller HLO than the unrolled loop below; see
+            # gsplat_pallas.rasterize_tiled_pl_fold)
+            out, T_final = _render_folded(
+                cam_img_w, cam_img_h, K, Rt, primpos, primqvec, primscale,
+                opacity, colors, return_depth, tile_size, global_scale,
+                z_near, max_tiles_per_prim, max_pairs_per_tile, chunk,
+                pair_budget_mult, pallas_inner, ntx, nty)
+            radii = jnp.zeros((B, 1), jnp.float32)
+        else:
+            # pallas_call has no batching rule for the prefetch grid spec;
+            # the batch is small (1-4) so unroll it
+            outs = [one(K[b], Rt[b], primpos[b], primqvec[b], primscale[b],
+                        opacity[b], colors[b]) for b in range(B)]
+            out, T_final, radii = (jnp.stack(x) for x in zip(*outs))
     else:
         out, T_final, radii = jax.vmap(one)(
             K, Rt, primpos, primqvec, primscale, opacity, colors

@@ -248,6 +248,7 @@ def _compositor_kernel(
     out_ref,                   # [1, C+1, P] block per tile
     T_scr, acc_scr, cnt_scr,   # VMEM [1,P], [C,P]; SMEM [1] block cutoff
     *, chunk: int, inner: int, tile_size: int, ntx: int, n_chan: int,
+    tiles_per_img: int,
 ):
     t = pl.program_id(0)
     j = pl.program_id(1)
@@ -255,6 +256,9 @@ def _compositor_kernel(
     start = start_ref[t]
     end = end_ref[t]
     P = tile_size * tile_size
+    # batch-folded grids run B images' tiles back to back; tile coords are
+    # image-local (scalar mod, free; == t for a single image)
+    tl = t % tiles_per_img
 
     @pl.when(j == 0)
     def _():
@@ -269,8 +273,8 @@ def _compositor_kernel(
     @pl.when(have_work)
     def _():
         cnt_scr[0] = j + 1  # bwd replays exactly the blocks fwd composited
-        tx = (t % ntx) * tile_size
-        ty = (t // ntx) * tile_size
+        tx = (tl % ntx) * tile_size
+        ty = (tl // ntx) * tile_size
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
         px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
         py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
@@ -370,11 +374,23 @@ def rasterize_tiled_pallas_fwd(
     max_pairs_per_tile: int = 512,
     interpret: bool = False,
     rows_packed: jnp.ndarray | None = None,
+    n_imgs: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward-only Pallas compositor. Returns ([C, H, W], T [H, W])."""
+    """Forward-only Pallas compositor. Returns ([C, H, W], T [H, W]).
+
+    n_imgs > 1 = BATCH-FOLDED mode: the grid runs n_imgs images' tiles back
+    to back in ONE kernel launch. tile_start/tile_end are [n_imgs * T] with
+    pair indices offset by img * R (R = per-image packed-row count, must be
+    chunk-aligned), rows_packed is the [n_imgs * R, feat] concatenation, and
+    the returns gain a leading n_imgs axis. One launch instead of B unrolled
+    subgraphs: ~B x smaller HLO (compile time) and no per-launch ramp.
+    """
     inner = min(inner, chunk)
-    N, C = colors.shape
-    budget = sorted_prim.shape[0]
+    if n_imgs > 1:
+        assert rows_packed is not None, "folded mode requires packed rows"
+        C = rows_packed.shape[1] - 8
+    else:
+        N, C = colors.shape
     P = tile_size * tile_size
     feat = 8 + C
 
@@ -391,7 +407,7 @@ def rasterize_tiled_pallas_fwd(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T_tiles, nchunks),
+        grid=(n_imgs * T_tiles, nchunks),
         in_specs=[pl.BlockSpec(
             (chunk, feat),
             lambda t, j, start, end: (start[t] // chunk + j, 0),
@@ -407,22 +423,25 @@ def rasterize_tiled_pallas_fwd(
     )
     kernel = functools.partial(
         _compositor_kernel, chunk=chunk, inner=inner, tile_size=tile_size,
-        ntx=ntx, n_chan=C,
+        ntx=ntx, n_chan=C, tiles_per_img=T_tiles,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T_tiles, out_feat, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_imgs * T_tiles, out_feat, P), jnp.float32),
         interpret=interpret,
     )(tile_start, tile_end, rows)
 
-    img = out[:, :C].reshape(nty, ntx, C, tile_size, tile_size)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(
-        C, nty * tile_size, ntx * tile_size)[:, :img_h, :img_w]
-    T_img = out[:, C].reshape(nty, ntx, tile_size, tile_size)
-    T_img = T_img.transpose(0, 2, 1, 3).reshape(
-        nty * tile_size, ntx * tile_size)[:img_h, :img_w]
-    cnt = out[:, C + 1, 0].astype(jnp.int32)  # [T_tiles]
+    img = out[:, :C].reshape(n_imgs, nty, ntx, C, tile_size, tile_size)
+    img = img.transpose(0, 3, 1, 4, 2, 5).reshape(
+        n_imgs, C, nty * tile_size, ntx * tile_size)[..., :img_h, :img_w]
+    T_img = out[:, C].reshape(n_imgs, nty, ntx, tile_size, tile_size)
+    T_img = T_img.transpose(0, 1, 3, 2, 4).reshape(
+        n_imgs, nty * tile_size, ntx * tile_size)[..., :img_h, :img_w]
+    cnt = out[:, C + 1, 0].astype(jnp.int32)  # [n_imgs * T_tiles]
+    if n_imgs == 1:
+        return img[0], T_img[0], cnt
     return img, T_img, cnt
 
 
@@ -456,6 +475,7 @@ def _compositor_bwd_kernel(
     out_ref,                   # [chunk, 16] pair grads, sorted-pair order
     T_scr, Pq_scr, prev_scr,   # VMEM [1, P] x2; SMEM [1] previous block id
     *, chunk: int, inner: int, tile_size: int, ntx: int, n_chan: int,
+    tiles_per_img: int,
 ):
     t = pl.program_id(0)
     j = pl.program_id(1)
@@ -463,6 +483,7 @@ def _compositor_bwd_kernel(
     end = end_ref[t]
     P = tile_size * tile_size
     C = n_chan
+    tl = t % tiles_per_img  # image-local tile id under batch folding
 
     @pl.when((t == 0) & (j == 0))
     def _():
@@ -500,8 +521,8 @@ def _compositor_bwd_kernel(
 
     @pl.when(have_work)
     def _():
-        tx = (t % ntx) * tile_size
-        ty = (t // ntx) * tile_size
+        tx = (tl % ntx) * tile_size
+        ty = (tl // ntx) * tile_size
         pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
         px = (pix_i % tile_size + tx).astype(jnp.float32) + 0.5
         py = (pix_i // tile_size + ty).astype(jnp.float32) + 0.5
@@ -621,15 +642,24 @@ def pair_grads_pallas(
     interpret: bool = False,
     rows_packed: jnp.ndarray | None = None,
     out_img: jnp.ndarray | None = None,   # [C, H, W] fwd render (required)
+    n_imgs: int = 1,
 ) -> jnp.ndarray:
     """Per-pair gradients in SORTED-PAIR order [budget, 16].
 
     The kernel marches front-to-back (same direction and cutoff as the fwd)
     and writes grads straight into sorted-pair-space chunk blocks — columns
-    are (dx, dy, d_conic(3), d_opacity, d_color(C), 0-pad)."""
+    are (dx, dy, d_conic(3), d_opacity, d_color(C), 0-pad).
+
+    n_imgs > 1 = batch-folded (see rasterize_tiled_pallas_fwd): image
+    tensors carry a leading n_imgs axis, tile/pair arrays are globalized,
+    and the return is [n_imgs * R, 16] in global sorted-pair order."""
     inner = min(inner, chunk)
-    N, C = colors.shape
-    budget = sorted_prim.shape[0]
+    if n_imgs > 1:
+        assert rows_packed is not None
+        C = rows_packed.shape[1] - 8
+    else:
+        N, C = colors.shape
+        budget = sorted_prim.shape[0]
     P = tile_size * tile_size
     feat = 8 + C
 
@@ -647,18 +677,26 @@ def pair_grads_pallas(
     # dout rows, dT, Tf, and the fwd-rendered tile (for suffix-from-total)
     pad_h = nty * tile_size - img_h
     pad_w = ntx * tile_size - img_w
-    g = jnp.concatenate(
-        [dL_dout, dL_dT[None], T_final[None], out_img], axis=0)
-    g = jnp.pad(g, ((0, 0), (0, pad_h), (0, pad_w)))
-    g = g.reshape(2 * C + 2, nty, tile_size, ntx, tile_size)
-    g = g.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, 2 * C + 2, P)
+    if n_imgs > 1:
+        g = jnp.concatenate(
+            [dL_dout, dL_dT[:, None], T_final[:, None], out_img], axis=1)
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
+        g = g.reshape(n_imgs, 2 * C + 2, nty, tile_size, ntx, tile_size)
+        g = g.transpose(0, 2, 4, 1, 3, 5).reshape(
+            n_imgs * nty * ntx, 2 * C + 2, P)
+    else:
+        g = jnp.concatenate(
+            [dL_dout, dL_dT[None], T_final[None], out_img], axis=0)
+        g = jnp.pad(g, ((0, 0), (0, pad_h), (0, pad_w)))
+        g = g.reshape(2 * C + 2, nty, tile_size, ntx, tile_size)
+        g = g.transpose(1, 3, 0, 2, 4).reshape(nty * ntx, 2 * C + 2, P)
 
     T_tiles = ntx * nty
     nblocks = rows.shape[0] // chunk  # budget + pad, chunk-aligned
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(T_tiles, nchunks),
+        grid=(n_imgs * T_tiles, nchunks),
         in_specs=[
             pl.BlockSpec(
                 (chunk, feat),
@@ -683,7 +721,7 @@ def pair_grads_pallas(
     )
     kernel = functools.partial(
         _compositor_bwd_kernel, chunk=chunk, inner=inner,
-        tile_size=tile_size, ntx=ntx, n_chan=C,
+        tile_size=tile_size, ntx=ntx, n_chan=C, tiles_per_img=T_tiles,
     )
     out = pl.pallas_call(
         kernel,
@@ -691,6 +729,8 @@ def pair_grads_pallas(
         out_shape=jax.ShapeDtypeStruct((nblocks * chunk, 16), jnp.float32),
         interpret=interpret,
     )(tile_start, tile_end, cnt, rows, g)
+    if n_imgs > 1:
+        return out  # [n_imgs * R, 16] global sorted-pair order
     return out[:budget]
 
 
@@ -768,3 +808,87 @@ def _pl_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
 
 
 rasterize_tiled_pl.defvjp(_pl_fwd, _pl_bwd)
+
+
+# ---------------------------------------------------------------------------
+# batch-folded rasterizer: B images in ONE kernel launch
+# ---------------------------------------------------------------------------
+#
+# The caller (gsplat._render_folded) stacks the B images VERTICALLY in tile
+# space and runs ONE global binning over all B*N prims (tile grid ntx x
+# B*nty, one composite-key sort, one global pair budget). Tile ids are then
+# contiguous per image (tile (x, y + b*nty) has id b*T + local), so the
+# kernels recover image-local pixel coords with a scalar mod (tiles_per_img)
+# and everything else — block index maps, boundary-block accumulation, the
+# per-prim reduce — works unchanged on the global arrays. Result: the whole
+# render+backward is ONE fwd kernel, ONE bwd kernel, ONE sort, ONE reduce
+# regardless of B, instead of B unrolled subgraphs (B x smaller HLO).
+
+@_partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+def rasterize_tiled_pl_fold(xys, conics, opacities, colors, binning_arrays,
+                            img_h: int, img_w: int, tile_size: int,
+                            max_pairs_per_tile: int, chunk: int, inner: int,
+                            ntx: int, nty: int, n_imgs: int):
+    """Batch-folded Pallas rasterizer.
+
+    Args are FLAT over the fold: xys [B*N, 2], conics [B*N, 3], opacities
+    [B*N, 1], colors [B*N, C]; binning_arrays from ONE global bin_to_tiles
+    over the vertically-stacked tile grid (tile_start/end [B*T], pair
+    arrays [B*budget]). Returns (out [B, C, H, W], T_final [B, H, W])."""
+    out, _res = _plf_fwd(
+        xys, conics, opacities, colors, binning_arrays,
+        img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
+        ntx, nty, n_imgs)
+    return out
+
+
+def _plf_fwd(xys, conics, opacities, colors, binning_arrays,
+             img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
+             ntx, nty, n_imgs):
+    sorted_prim, tile_start, tile_end, valid = binning_arrays[:4]
+    nchunks = max_pairs_per_tile // chunk + 1
+    rows = pack_pair_rows(
+        xys, conics, opacities, colors, valid.astype(xys.dtype),
+        sorted_prim, nchunks * chunk)
+    out, T_final, cnt = rasterize_tiled_pallas_fwd(
+        None, None, None, None, None, None, tile_start, tile_end,
+        img_h, img_w, tile_size, ntx, nty,
+        chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
+        interpret=INTERPRET, rows_packed=rows, n_imgs=n_imgs,
+    )
+    return (out, T_final), (rows, opacities, colors, binning_arrays,
+                            out, T_final, cnt)
+
+
+def _plf_bwd(img_h, img_w, tile_size, max_pairs_per_tile, chunk, inner,
+             ntx, nty, n_imgs, res, grads):
+    rows, opacities, colors, binning_arrays, out_img, T_final, cnt = res
+    C = colors.shape[1]
+    op_shape = opacities.shape
+    dL_dout, dL_dT = grads
+    (sorted_prim, tile_start, tile_end, valid,
+     perm, prim_offsets, prim_ends, tile_of_pair) = binning_arrays
+    budget_total = sorted_prim.shape[0]
+    sorted_g = pair_grads_pallas(
+        None, None, opacities, colors, None,
+        sorted_prim, tile_start, tile_end, tile_of_pair,
+        dL_dout, dL_dT, T_final, cnt,
+        img_h, img_w, tile_size, ntx, nty,
+        chunk=chunk, inner=inner, max_pairs_per_tile=max_pairs_per_tile,
+        interpret=INTERPRET, rows_packed=rows, out_img=out_img,
+        n_imgs=n_imgs,
+    )[:budget_total]
+    from goliath_tpu.ops.gsplat import reduce_sorted_pair_grads
+
+    # prim_offsets/prim_ends are GLOBAL over the fold, so the per-prim
+    # prefix-sum reduce works unchanged; acc is [F, B*N]
+    acc = reduce_sorted_pair_grads(sorted_g[:, :6 + C], perm,
+                                   prim_offsets, prim_ends)
+    dxys = acc[0:2].T
+    dconics = acc[2:5].T
+    dopacities = acc[5].reshape(op_shape)
+    dcolors = acc[6:].T
+    return (dxys, dconics, dopacities, dcolors, None)
+
+
+rasterize_tiled_pl_fold.defvjp(_plf_fwd, _plf_bwd)
