@@ -80,7 +80,7 @@ def test_folded_prims_stay_in_their_image(scene, monkeypatch):
     H, W = 64, 32
     # push sample 0's prims far BELOW its image: without the per-sample
     # clip they would land in sample 1's top tile rows
-    pos0 = np.asarray(pos)
+    pos0 = np.array(pos)  # np.asarray of a jax array is read-only
     pos0[0, :, 1] += 1e3
     pos0 = jnp.asarray(pos0)
     kw = dict(tile_size=16, max_pairs_per_tile=256, chunk=32,
